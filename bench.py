@@ -1,0 +1,117 @@
+"""Headline benchmark: masked DiT-XL/2 training throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline: the reference trains ImageNet-256 for 2M steps at global batch
+1024 in ~260 h on 8x A100 (reference README.md:27-28; BASELINE.md) =>
+2.137 steps/s * 1024 / 8 = 273.5 images/sec per A100. vs_baseline is our
+per-chip images/sec divided by that.
+
+Config matches the reference pretrain hot loop (configs/train/
+imagenet256-latent.yaml): DiT-XL/2, 32x32x4 latents, mask 0.5, MAE coef
+0.1, EDM loss, AdamW, EMA — the full train step, not just the forward.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("MASKDIT_COMPILE_CACHE", "/tmp/jax_maskdit_cache"),
+)
+
+A100_IMAGES_PER_SEC = 273.5  # reference 8xA100 throughput per GPU
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build(batch: int):
+    from maskdit_tpu.models import create_model
+    from maskdit_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = create_model(
+        "edm", img_resolution=32, img_channels=4, num_classes=1000,
+        model_type="DiT-XL/2", use_decoder=True, mae_loss_coef=0.1,
+        dtype=jnp.bfloat16,
+    )
+    opt = make_optimizer(1e-4, global_batch_size=batch)
+    state = jax.jit(
+        lambda r: create_train_state(model, r, opt, batch_size=1),
+        donate_argnums=(),
+    )(jax.random.PRNGKey(0))
+    step = jax.jit(
+        make_train_step(
+            model, opt, mask_ratio=0.5, mae_loss_coef=0.1,
+            class_dropout_prob=0.1,
+        ),
+        donate_argnums=(0,),
+    )
+    rng = jax.random.PRNGKey(1)
+    batch_data = {
+        "x": jax.random.normal(jax.random.fold_in(rng, 0), (batch, 8, 32, 32)),
+        "y": jax.nn.one_hot(
+            jax.random.randint(jax.random.fold_in(rng, 1), (batch,), 0, 1000),
+            1000,
+        ),
+    }
+    return state, step, batch_data, rng
+
+
+def run(batch: int, warmup: int = 2, iters: int = 10) -> float:
+    state, step, batch_data, rng = build(batch)
+    for i in range(warmup):
+        state, metrics = step(state, batch_data, rng)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batch_data, rng)
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / iters
+    loss = float(jax.device_get(metrics["loss"]))
+    log(f"batch={batch}: {dt*1e3:.1f} ms/step, loss={loss:.4f}")
+    if not jnp.isfinite(loss):
+        raise RuntimeError(f"non-finite loss {loss}")
+    return batch / dt
+
+
+def main() -> None:
+    imgs_per_sec = None
+    for batch in (64, 32, 16, 8):
+        try:
+            imgs_per_sec = run(batch)
+            break
+        except Exception as e:  # OOM fallback ladder
+            log(f"batch={batch} failed: {type(e).__name__}: {e}")
+            continue
+    if imgs_per_sec is None:
+        print(json.dumps({
+            "metric": "maskdit_xl2_train_images_per_sec",
+            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+        }))
+        raise SystemExit(1)
+    print(json.dumps({
+        "metric": "maskdit_xl2_train_images_per_sec",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / A100_IMAGES_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

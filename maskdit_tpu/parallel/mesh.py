@@ -1,0 +1,139 @@
+"""Device mesh construction and named sharding rules.
+
+Replaces the reference's NCCL/DDP substrate (reference: utils.py:84-94,
+train.py:178) with XLA GSPMD over a named mesh. Axes:
+
+  data   — pure data parallelism (batch sharded, params replicated)
+  fsdp   — ZeRO-style parameter sharding; batch is also sharded over this
+           axis and XLA all-gathers parameters per layer
+  tensor — Megatron-style tensor parallelism inside DiT blocks (qkv/fc1
+           column-split, proj/fc2 row-split); XLA inserts the psums
+
+The reference supports only DP (SURVEY.md §2.3); fsdp/tensor axes are
+capability beyond parity, sized 1 by default so the DP path is identical.
+Collectives ride ICI when the mesh maps to a slice; multi-host meshes put
+'data' outermost so DCN traffic is gradient-reduction only.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXES = ("data", "fsdp", "tensor")
+
+
+def create_mesh(
+    mesh_shape: Optional[dict[str, int]] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 3-axis mesh. Default: all devices on 'data'."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if mesh_shape is None:
+        mesh_shape = {"data": n, "fsdp": 1, "tensor": 1}
+    shape = tuple(int(mesh_shape.get(a, 1)) for a in AXES)
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {mesh_shape} does not use all {n} devices")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, AXES)
+
+
+# ---------------------------------------------------------------------------
+# parameter partition rules
+# ---------------------------------------------------------------------------
+
+# (path regex, PartitionSpec); first match wins. Paths are '/'-joined flax
+# param paths, e.g. 'model/blocks_0/attn/qkv/kernel'.
+DEFAULT_PARAM_RULES: list[tuple[str, P]] = [
+    # tensor-parallel splits inside transformer blocks
+    (r".*/attn/qkv/kernel$", P("fsdp", "tensor")),
+    (r".*/attn/qkv/bias$", P("tensor")),
+    (r".*/attn/proj/kernel$", P("tensor", "fsdp")),
+    (r".*/mlp/fc1/kernel$", P("fsdp", "tensor")),
+    (r".*/mlp/fc1/bias$", P("tensor")),
+    (r".*/mlp/fc2/kernel$", P("tensor", "fsdp")),
+    # big replicated matrices: shard the input dim over fsdp only
+    (r".*/adaLN_modulation/kernel$", P("fsdp", None)),
+    (r".*/decoder_layer/.*kernel$", P("fsdp", None)),
+    (r".*/final_layer/linear/kernel$", P("fsdp", None)),
+    (r".*/embedding_table/kernel$", P(None, "fsdp")),
+    (r".*/t_embedder/.*/kernel$", P(None, "fsdp")),
+    # everything else replicated
+    (r".*", P()),
+]
+
+
+def path_str(path: tuple) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_specs(
+    params: Any, rules: Optional[list[tuple[str, P]]] = None
+) -> Any:
+    """Map every param leaf to a PartitionSpec via the first matching rule.
+
+    Specs are validated against leaf shapes: an axis is dropped from the
+    spec when the dimension is not divisible by the mesh axis size at use
+    time (validation happens in ``shardings_for``).
+    """
+    rules = rules if rules is not None else DEFAULT_PARAM_RULES
+    compiled = [(re.compile(pat), spec) for pat, spec in rules]
+
+    def assign(path, leaf):
+        name = path_str(path)
+        for pat, spec in compiled:
+            if pat.fullmatch(name):
+                return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def _fit_spec(spec: P, shape: tuple[int, ...], mesh: Mesh) -> P:
+    """Drop sharded axes that do not divide the dimension; pad rank."""
+    parts = list(spec) + [None] * (len(shape) - len(spec))
+    out = []
+    for dim, axis in zip(shape, parts):
+        if axis is None:
+            out.append(None)
+            continue
+        axes = axis if isinstance(axis, tuple) else (axis,)
+        size = int(np.prod([mesh.shape[a] for a in axes]))
+        out.append(axis if size > 1 and dim % size == 0 else None)
+    return P(*out)
+
+
+def shardings_for(tree: Any, specs: Any, mesh: Mesh) -> Any:
+    """PartitionSpec tree -> NamedSharding tree, with divisibility fixup."""
+
+    def make(leaf, spec):
+        shape = getattr(leaf, "shape", ())
+        return NamedSharding(mesh, _fit_spec(spec, tuple(shape), mesh))
+
+    return jax.tree.map(make, tree, specs)
+
+
+def batch_spec() -> P:
+    """Batch dim sharded over both data-like axes."""
+    return P(("data", "fsdp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, batch_spec())
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

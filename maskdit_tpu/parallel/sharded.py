@@ -1,0 +1,78 @@
+"""Sharded training setup: state creation and the pjit-ed train step.
+
+This is the TPU counterpart of the reference's `accelerator.prepare(model,
+optimizer, loader)` + DDP wrap (reference: train.py:178): parameters are
+materialized *directly into their shards* (no host-side full copy), and the
+train step is jitted with NamedShardings so XLA emits all gradient
+reductions/parameter gathers as ICI collectives.
+
+The partition rules live in maskdit_tpu.parallel.mesh. Because rules are
+suffix-matched on tree paths, the same rule set shards params, EMA params,
+and the Adam mu/nu accumulators consistently.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from maskdit_tpu.models.precond import EDMPrecond
+from maskdit_tpu.parallel import mesh as mesh_lib
+from maskdit_tpu.train.state import TrainState, create_train_state, make_train_step
+
+
+def state_shardings(
+    state_shapes: Any, mesh: Mesh, rules: Optional[list] = None
+) -> Any:
+    """NamedSharding tree for a TrainState (or its eval_shape)."""
+    specs = mesh_lib.param_specs(state_shapes, rules)
+    return mesh_lib.shardings_for(state_shapes, specs, mesh)
+
+
+def create_sharded_state(
+    model: EDMPrecond,
+    rng: jax.Array,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    batch_size: int = 1,
+    mask_ratio: float = 0.5,
+    rules: Optional[list] = None,
+) -> tuple[TrainState, Any]:
+    """Initialize a TrainState with every leaf placed on its shards.
+
+    Returns (state, shardings). Uses eval_shape to plan shardings, then a
+    jitted init with out_shardings so large params never exist unsharded.
+    """
+    init_fn = lambda r: create_train_state(
+        model, r, optimizer, batch_size=batch_size, mask_ratio=mask_ratio
+    )
+    shapes = jax.eval_shape(init_fn, rng)
+    shardings = state_shardings(shapes, mesh, rules)
+    state = jax.jit(init_fn, out_shardings=shardings)(rng)
+    return state, shardings
+
+
+def make_sharded_train_step(
+    model: EDMPrecond,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    shardings: Any,
+    donate: bool = True,
+    **step_kwargs: Any,
+) -> Callable:
+    """jit the train step with explicit input/output shardings.
+
+    batch enters sharded over the data-like axes; metrics leave replicated.
+    """
+    step = make_train_step(model, optimizer, **step_kwargs)
+    batch_shard = mesh_lib.batch_sharding(mesh)
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(shardings, {"x": batch_shard, "y": batch_shard}, replicated),
+        out_shardings=(shardings, None),
+        donate_argnums=(0,) if donate else (),
+    )

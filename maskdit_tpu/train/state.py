@@ -1,0 +1,206 @@
+"""Train state and the fused training step.
+
+One jitted step covers the whole hot loop of reference train.py:198-287:
+moments->z reparameterization (utils.py:59-65), CFG label dropout
+(train.py:208-209), grad accumulation (train.py:211-227), EDM loss, AdamW
+with kimg LR warmup (train.py:223-226), and the EMA update (helper.py:48-58)
+— no host round-trips inside the step.
+
+Numerics: params, optimizer state and EMA in fp32; model matmuls in the
+model's compute dtype (bf16 by default) — the TPU analogue of the
+reference's fp16-AMP-with-fp32-master-weights setup (deliberate divergence
+documented in SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from maskdit_tpu.models.precond import EDMPrecond
+from maskdit_tpu.train.loss import EDMLoss
+from maskdit_tpu.train.schedules import lr_with_rampup
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    ema_params: Any
+    opt_state: Any
+
+
+def reparameterize_moments(
+    rng: jax.Array, moments: jax.Array, scale_factor: float = 0.18215
+) -> jax.Array:
+    """VAE moments (N, 2C, H, W) -> z (N, C, H, W) (reference: utils.py:59-65).
+
+    Done on device per step — drawing a fresh z from the stored posterior
+    each epoch acts as data augmentation (SURVEY.md §3.5 note).
+    """
+    mean, logvar = jnp.split(moments, 2, axis=1)
+    logvar = jnp.clip(logvar, -30.0, 20.0)
+    std = jnp.exp(0.5 * logvar)
+    z = mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
+    return scale_factor * z
+
+
+def make_optimizer(
+    base_lr: float,
+    global_batch_size: int,
+    rampup_kimg: float = 0.0,
+    betas: tuple[float, float] = (0.9, 0.999),
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """AdamW matching apex FusedAdam(adam_w_mode=True, wd=0) + kimg warmup
+    (reference: train.py:141, 223-226)."""
+    if rampup_kimg > 0:
+        schedule = lambda step: lr_with_rampup(
+            step, base_lr, global_batch_size, rampup_kimg
+        )
+    else:
+        schedule = base_lr
+    return optax.adamw(
+        learning_rate=schedule, b1=betas[0], b2=betas[1], eps=eps,
+        weight_decay=weight_decay,
+    )
+
+
+def create_train_state(
+    model: EDMPrecond,
+    rng: jax.Array,
+    optimizer: optax.GradientTransformation,
+    batch_size: int = 1,
+    mask_ratio: float = 0.5,
+) -> TrainState:
+    """Initialize params (reference init semantics), EMA copy, opt state."""
+    x = jnp.zeros(
+        (batch_size, model.img_channels, model.img_resolution, model.img_resolution)
+    )
+    sigma = jnp.ones((batch_size,))
+    y = (
+        jnp.zeros((batch_size, model.num_classes))
+        if model.num_classes
+        else None
+    )
+    params_rng, mask_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": params_rng, "mask": mask_rng},
+        x, sigma, y, mask_ratio=mask_ratio, train=True,
+    )
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        ema_params=jax.tree.map(lambda p: p, params),
+        opt_state=optimizer.init(params),
+    )
+
+
+def make_train_step(
+    model: EDMPrecond,
+    optimizer: optax.GradientTransformation,
+    loss_fn: Optional[EDMLoss] = None,
+    mask_ratio: float = 0.5,
+    mae_loss_coef: float = 0.0,
+    class_dropout_prob: float = 0.1,
+    ema_decay: float = 0.9999,
+    grad_accum: int = 1,
+    scale_factor: float = 0.18215,
+    reparam_moments: bool = True,
+) -> Callable[[TrainState, dict, jax.Array], tuple[TrainState, dict]]:
+    """Build the jittable train step.
+
+    batch: {'x': (N, C or 2C, H, W) latents-or-moments, 'y': (N, K) one-hot}.
+    ``mask_ratio`` is static; build one step per bucketed ratio.
+    """
+    loss_fn = loss_fn or EDMLoss()
+    patch_size = int(model.model_type.rsplit("/", 1)[1])
+
+    def microbatch_loss(params, x, y, rng):
+        def net_apply(xin, sigma, labels, m_ratio, feat, rngs):
+            return model.apply(
+                {"params": params}, xin, sigma, labels,
+                mask_ratio=m_ratio, feat=feat, train=True, rngs=rngs,
+            )
+
+        loss_vec, aux = loss_fn(
+            net_apply, x, rng, labels=y, mask_ratio=mask_ratio,
+            mae_loss_coef=mae_loss_coef, patch_size=patch_size,
+        )
+        return loss_vec.mean(), aux
+
+    grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        rng_z, rng_drop, rng_loss = jax.random.split(rng, 3)
+
+        x = batch["x"].astype(jnp.float32)
+        if reparam_moments and x.shape[1] == 2 * model.img_channels:
+            x = reparameterize_moments(rng_z, x, scale_factor)
+
+        y = batch.get("y")
+        if y is not None and class_dropout_prob > 0:
+            keep = (
+                jax.random.uniform(rng_drop, (y.shape[0], 1))
+                >= class_dropout_prob
+            ).astype(y.dtype)
+            y = y * keep
+
+        if grad_accum == 1:
+            (loss, aux), grads = grad_fn(state.params, x, y, rng_loss)
+        else:
+            micro = x.shape[0] // grad_accum
+            xs = x.reshape(grad_accum, micro, *x.shape[1:])
+            ys = (
+                y.reshape(grad_accum, micro, *y.shape[1:])
+                if y is not None else None
+            )
+
+            def accum(carry, inputs):
+                g_sum, l_sum = carry
+                i, x_i, y_i = inputs
+                (l, aux_i), g = grad_fn(
+                    state.params, x_i, y_i, jax.random.fold_in(rng_loss, i)
+                )
+                g_sum = jax.tree.map(jnp.add, g_sum, g)
+                return (g_sum, l_sum + l), aux_i
+
+            g0 = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss_sum), auxs = jax.lax.scan(
+                accum,
+                (g0, 0.0),
+                (jnp.arange(grad_accum), xs, ys),
+            )
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            loss = loss_sum / grad_accum
+            aux = jax.tree.map(lambda a: a.mean(), auxs)
+
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = optax.incremental_update(
+            new_params, state.ema_params, step_size=1.0 - ema_decay
+        )
+
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            **aux,
+        }
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            ema_params=new_ema,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,141 @@
+"""Data layer tests: LMDB format round-trips, datasets, center crop."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from maskdit_tpu.data import lmdb_lite
+from maskdit_tpu.data.datasets import (
+    ImageFolderDataset,
+    ImageNetLatentDataset,
+    SyntheticLatentDataset,
+    center_crop_arr,
+    write_latent_lmdb,
+)
+
+
+def test_lmdb_roundtrip_small(tmp_path):
+    path = str(tmp_path / "db")
+    with lmdb_lite.Writer(path) as w:
+        w.put(b"alpha", b"1")
+        w.put(b"beta", b"22")
+        w.put(b"gamma", b"x" * 100)
+    r = lmdb_lite.Reader(path)
+    assert len(r) == 3
+    assert r.get(b"alpha") == b"1"
+    assert r.get(b"beta") == b"22"
+    assert r.get(b"gamma") == b"x" * 100
+    assert r.get(b"missing") is None
+    assert [k for k, _ in r.items()] == [b"alpha", b"beta", b"gamma"]
+    r.close()
+
+
+def test_lmdb_roundtrip_large_values_and_many_keys(tmp_path):
+    """Force multi-level B-tree + overflow pages (values > node max)."""
+    path = str(tmp_path / "db")
+    rng = np.random.RandomState(0)
+    records = {}
+    with lmdb_lite.Writer(path) as w:
+        for i in range(3000):
+            key = f"z-{i}".encode()
+            if i % 7 == 0:
+                val = rng.bytes(4096 * 2 + 13)  # overflow chain (3 pages)
+            else:
+                val = rng.bytes(rng.randint(1, 200))
+            records[key] = val
+            w.put(key, val)
+    r = lmdb_lite.Reader(path)
+    assert len(r) == 3000
+    assert r.depth >= 2  # must have built branch pages
+    for key, val in records.items():
+        assert r.get(key) == val, key
+    # ordered iteration covers everything in memcmp order
+    keys = [k for k, _ in r.items()]
+    assert keys == sorted(records.keys())
+    r.close()
+
+
+def test_lmdb_binary_search_edges(tmp_path):
+    path = str(tmp_path / "db")
+    with lmdb_lite.Writer(path) as w:
+        for i in range(0, 100, 2):
+            w.put(f"k{i:04d}", f"v{i}")
+    r = lmdb_lite.Reader(path)
+    assert r.get(b"k0000") == b"v0"
+    assert r.get(b"k0098") == b"v98"
+    assert r.get(b"k0001") is None  # between keys
+    assert r.get(b"a") is None  # before first
+    assert r.get(b"z") is None  # after last
+    r.close()
+
+
+def test_latent_dataset(tmp_path):
+    root = str(tmp_path / "imagenet-latent")
+    n, c, res = 20, 4, 8
+    rng = np.random.RandomState(1)
+    moments = rng.randn(n, 2 * c, res, res).astype(np.float32)
+    labels = rng.randint(0, 10, size=n)
+    write_latent_lmdb(f"{root}/train", moments, labels)
+
+    ds = ImageNetLatentDataset(
+        root, resolution=res, num_channels=c, label_dim=10
+    )
+    assert len(ds) == n
+    z, y = ds[3]
+    assert z.shape == (2 * c, res, res)
+    np.testing.assert_array_equal(z, moments[3])
+    assert y.shape == (10,)
+    assert y[labels[3]] == 1 and y.sum() == 1
+    ds.close()
+
+
+def test_latent_dataset_xflip_and_max_size(tmp_path):
+    root = str(tmp_path / "d")
+    n, c, res = 10, 2, 4
+    moments = np.arange(n * 2 * c * res * res, dtype=np.float32).reshape(
+        n, 2 * c, res, res
+    )
+    labels = np.arange(n) % 3
+    # reference convention: flipped copies are stored as the second half
+    all_moments = np.concatenate([moments, moments[:, :, :, ::-1]])
+    write_latent_lmdb(f"{root}/train", all_moments, np.concatenate([labels, labels]))
+    # but 'length' must report the full stored count for xflip indexing;
+    # reference extract_latent writes length = 2n when xflip enabled
+    ds = ImageNetLatentDataset(root, resolution=res, num_channels=c, label_dim=3)
+    assert len(ds) == 2 * n
+
+    ds2 = ImageNetLatentDataset(
+        root, resolution=res, num_channels=c, label_dim=3, max_size=5
+    )
+    assert len(ds2) == 5
+
+
+def test_image_folder_dataset(tmp_path):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        arr = rng.randint(0, 255, size=(16, 16, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"{i:03d}.png")
+    ds = ImageFolderDataset(str(d), label_dim=0)
+    assert len(ds) == 4
+    img, label = ds[0]
+    assert img.shape == (3, 16, 16) and img.dtype == np.uint8
+
+
+def test_center_crop_sizes():
+    img = Image.fromarray(np.zeros((300, 500, 3), dtype=np.uint8))
+    out = center_crop_arr(img, 64)
+    assert out.size == (64, 64)
+    img2 = Image.fromarray(np.zeros((64, 80, 3), dtype=np.uint8))
+    out2 = center_crop_arr(img2, 64)
+    assert out2.size == (64, 64)
+
+
+def test_synthetic_dataset():
+    ds = SyntheticLatentDataset(length=8, resolution=4, num_channels=2, label_dim=5)
+    z, y = ds[0]
+    assert z.shape == (4, 4, 4)
+    assert y.shape == (5,)
+    z2, _ = ds[0]
+    np.testing.assert_array_equal(z, z2)  # deterministic
