@@ -1,0 +1,173 @@
+"""Sampling CLI (reference generate.py equivalent).
+
+Usage:
+  python generate.py --ckpt_path <ckpt.pt|orbax dir> --outdir out \
+      --seeds 0-63 [--class_idx 207] [--cfg_scale 1.5] [--num_steps 40] ...
+
+Loads EMA weights from either a released reference ``.pt`` checkpoint
+(converted on the fly) or one of our orbax checkpoints, samples with the
+EDM/ablation sampler, decodes through the SD-VAE, and writes per-seed PNGs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("MASKDIT_COMPILE_CACHE", "/tmp/jax_maskdit_cache"),
+)
+import jax.numpy as jnp
+
+from maskdit_tpu.models import create_model
+from maskdit_tpu.models.dit import DIT_CONFIGS
+from maskdit_tpu.parallel import init_distributed, mprint
+from maskdit_tpu.sampling.generate import SamplerConfig, generate_with_params
+from maskdit_tpu.utils.logging import (
+    Logger,
+    parse_float_none,
+    parse_int_list,
+    str2bool,
+)
+
+
+def load_params(args, model):
+    """EMA params from a reference .pt or an orbax checkpoint dir."""
+    if args.ckpt_path.endswith((".pt", ".pth")):
+        from maskdit_tpu.utils.ckpt import graft_params, load_reference_checkpoint
+
+        loaded = load_reference_checkpoint(
+            args.ckpt_path, use_ema=True, strict=args.use_strict_load
+        )
+        init = jax.eval_shape(
+            lambda r: model.init(
+                {"params": r},
+                jnp.zeros((1, model.img_channels, model.img_resolution,
+                           model.img_resolution)),
+                jnp.ones((1,)),
+                jnp.zeros((1, model.num_classes)) if model.num_classes else None,
+            ),
+            jax.random.PRNGKey(0),
+        )["params"]
+        import numpy as np
+
+        zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), init)
+        return jax.tree.map(jnp.asarray, graft_params(zeros, loaded))
+    # orbax checkpoint: restore ema_params from a TrainState save
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer().restore(os.path.abspath(args.ckpt_path))
+    tree = ckpt.get("ema_params", ckpt.get("params", ckpt))
+    return jax.tree.map(jnp.asarray, tree)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser("sampling parameters")
+    parser.add_argument("--ckpt_path", type=str, required=True)
+    parser.add_argument("--outdir", type=str, required=True)
+    parser.add_argument("--seeds", type=parse_int_list, default="0-63")
+    parser.add_argument("--subdirs", action="store_true")
+    parser.add_argument("--class_idx", type=int, default=None)
+    parser.add_argument("--max_batch_size", type=int, default=64)
+    parser.add_argument("--cfg_scale", type=parse_float_none, default=None)
+    parser.add_argument("--num_steps", type=int, default=18)
+    parser.add_argument("--S_churn", type=int, default=0)
+    parser.add_argument("--solver", type=str, default=None,
+                        choices=["euler", "heun"])
+    parser.add_argument("--discretization", type=str, default=None,
+                        choices=["vp", "ve", "iddpm", "edm"])
+    parser.add_argument("--schedule", type=str, default=None,
+                        choices=["vp", "ve", "linear"])
+    parser.add_argument("--scaling", type=str, default=None,
+                        choices=["vp", "none"])
+    parser.add_argument("--pretrained_path", type=str,
+                        default="assets/stable_diffusion/autoencoder_kl.pth")
+    parser.add_argument("--no_decode", action="store_true",
+                        help="save raw latents as .npy instead of PNGs")
+    parser.add_argument("--image_size", type=int, default=32)
+    parser.add_argument("--image_channels", type=int, default=4)
+    parser.add_argument("--num_classes", type=int, default=1000)
+    parser.add_argument("--model_type", type=str,
+                        choices=list(DIT_CONFIGS), default="DiT-XL/2")
+    parser.add_argument("--precond", type=str, default="edm",
+                        choices=["edm"])
+    parser.add_argument("--use_decoder", type=str2bool, default=False)
+    parser.add_argument("--pad_cls_token", type=str2bool, default=False)
+    parser.add_argument("--mae_loss_coef", type=float, default=0)
+    parser.add_argument("--ext_feature_dim", type=int, default=0)
+    parser.add_argument("--use_strict_load", type=str2bool, default=True)
+    parser.add_argument("--fp32", action="store_true",
+                        help="run the denoiser in fp32 (parity mode)")
+    args = parser.parse_args()
+
+    init_distributed()
+    rank = jax.process_index()
+    world = jax.process_count()
+
+    os.makedirs(args.outdir, exist_ok=True)
+    logger = None
+    if rank == 0:
+        logger = Logger(os.path.join(args.outdir, "log.txt"), "a+")
+
+    if args.fp32:
+        jax.config.update("jax_default_matmul_precision", "highest")
+
+    model = create_model(
+        args.precond,
+        img_resolution=args.image_size,
+        img_channels=args.image_channels,
+        num_classes=args.num_classes,
+        model_type=args.model_type,
+        use_decoder=args.use_decoder,
+        mae_loss_coef=args.mae_loss_coef,
+        pad_cls_token=args.pad_cls_token,
+        ext_feature_dim=args.ext_feature_dim,
+        dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+    )
+    params = load_params(args, model)
+    mprint(f"loaded weights from {args.ckpt_path}")
+
+    vae_apply = None
+    if not args.no_decode:
+        from maskdit_tpu.models.vae import AutoencoderKL
+        from maskdit_tpu.utils.port import convert_vae, load_torch_state_dict
+
+        vae = AutoencoderKL()
+        vae_params = convert_vae(load_torch_state_dict(args.pretrained_path))
+        vae_params = jax.tree.map(jnp.asarray, vae_params)
+        vae_apply = jax.jit(
+            lambda z: vae.apply({"params": vae_params}, z, method="decode")
+        )
+
+    sampler_cfg = SamplerConfig(
+        num_steps=args.num_steps,
+        cfg_scale=args.cfg_scale,
+        S_churn=args.S_churn,
+        solver=args.solver,
+        discretization=args.discretization,
+        schedule=args.schedule,
+        scaling=args.scaling,
+    )
+    mprint(
+        f"generating {len(args.seeds)} images to {args.outdir} "
+        f"(cfg={args.cfg_scale}, steps={args.num_steps})"
+    )
+    generate_with_params(
+        model, params, args.seeds, args.outdir, sampler_cfg,
+        vae_apply=vae_apply, class_idx=args.class_idx,
+        max_batch_size=args.max_batch_size, rank=rank, world=world,
+        subdirs=args.subdirs, save_latents=args.no_decode,
+    )
+    mprint("Done!")
+    if logger is not None:
+        logger.close()
+
+
+if __name__ == "__main__":
+    main()

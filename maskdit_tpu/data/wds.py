@@ -1,0 +1,162 @@
+"""WebDataset-format tar shard reading/writing (stdlib tarfile, no deps).
+
+The reference's 512-res pipeline stores latents as WebDataset tar shards
+with members ``{key}.latent`` (pickled numpy array) and ``{key}.cls``
+(int text) (reference: lmdb2wds.py:20-26, train_wds.py:54-64).
+
+Unlike the reference's streaming reader, shards are *indexed* once at open
+(tar headers only) giving random access — so the same map-style DataLoader
+(shuffle, rank-striding, deterministic epochs) serves LMDB and WDS data.
+``write_wds_shards`` produces shards byte-compatible with webdataset's
+ShardWriter consumers.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import pickle
+import tarfile
+from typing import Iterable, Iterator, Optional
+
+import numpy as np
+
+from maskdit_tpu.data.datasets import Dataset
+
+
+def index_tar(path: str) -> dict[str, dict[str, tuple[int, int]]]:
+    """Scan tar headers: key -> {ext: (data_offset, size)}."""
+    samples: dict[str, dict[str, tuple[int, int]]] = {}
+    with tarfile.open(path, "r") as tf:
+        for member in tf:
+            if not member.isfile():
+                continue
+            base = os.path.basename(member.name)
+            key, _, ext = base.partition(".")
+            samples.setdefault(key, {})[ext] = (member.offset_data, member.size)
+    return samples
+
+
+class WebDatasetLatents(Dataset):
+    """Map-style reader over a directory of latent tar shards."""
+
+    def __init__(
+        self,
+        root: str,
+        resolution: int = 64,
+        num_channels: int = 8,
+        label_dim: int = 1000,
+        **super_kwargs,
+    ):
+        self._shards = sorted(
+            os.path.join(root, f) for f in os.listdir(root) if f.endswith(".tar")
+        )
+        if not self._shards:
+            raise IOError(f"no .tar shards found in {root}")
+        # global index: (shard_idx, latent_off, latent_sz, cls_off, cls_sz)
+        self._index: list[tuple[int, int, int, int, int]] = []
+        for si, shard in enumerate(self._shards):
+            ents = index_tar(shard)
+            for key in sorted(ents):
+                e = ents[key]
+                if "latent" in e and "cls" in e:
+                    self._index.append((si, *e["latent"], *e["cls"]))
+        self._handles: dict[int, io.BufferedReader] = {}
+        super().__init__(
+            name=os.path.basename(root),
+            raw_shape=[len(self._index), num_channels, resolution, resolution],
+            label_dim=label_dim,
+            **super_kwargs,
+        )
+
+    def _read(self, shard_idx: int, offset: int, size: int) -> bytes:
+        f = self._handles.get(shard_idx)
+        if f is None:
+            f = open(self._shards[shard_idx], "rb")
+            self._handles[shard_idx] = f
+        f.seek(offset)
+        return f.read(size)
+
+    def _load_raw_data(self, idx: int):
+        si, l_off, l_sz, c_off, c_sz = self._index[idx]
+        latent = pickle.loads(self._read(si, l_off, l_sz))
+        label = int(self._read(si, c_off, c_sz).decode("utf-8"))
+        return np.asarray(latent, dtype=np.float32), label
+
+    def close(self) -> None:
+        for f in self._handles.values():
+            f.close()
+        self._handles.clear()
+
+
+def write_wds_shards(
+    records: Iterable[tuple[str, np.ndarray, int]],
+    outdir: str,
+    pattern: str = "shard-%06d.tar",
+    maxcount: int = 10010,
+    maxsize: int = 10 ** 10,
+) -> list[str]:
+    """Write (key, latent, cls) records into tar shards (ShardWriter clone)."""
+    os.makedirs(outdir, exist_ok=True)
+    paths: list[str] = []
+    tf: Optional[tarfile.TarFile] = None
+    count = size = shard_id = 0
+
+    def open_shard():
+        nonlocal tf, count, size, shard_id
+        path = os.path.join(outdir, pattern % shard_id)
+        paths.append(path)
+        tf = tarfile.open(path, "w")
+        shard_id += 1
+        count = size = 0
+
+    def close_shard():
+        nonlocal tf
+        if tf is not None:
+            tf.close()
+            tf = None
+
+    def add(name: str, data: bytes):
+        nonlocal count, size
+        info = tarfile.TarInfo(name)
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+        size += len(data)
+
+    for key, latent, cls in records:
+        if tf is None or count >= maxcount or size >= maxsize:
+            close_shard()
+            open_shard()
+        add(f"{key}.latent", pickle.dumps(np.asarray(latent)))
+        add(f"{key}.cls", str(int(cls)).encode("utf-8"))
+        count += 1
+    close_shard()
+    return paths
+
+
+def iterate_samples(shard_paths: list[str]) -> Iterator[tuple[str, np.ndarray, int]]:
+    """Streaming iteration (for conversion pipelines)."""
+    for path in shard_paths:
+        with tarfile.open(path, "r") as tf:
+            current: dict[str, bytes] = {}
+            current_key = None
+            for member in tf:
+                if not member.isfile():
+                    continue
+                key, _, ext = os.path.basename(member.name).partition(".")
+                if current_key is not None and key != current_key and current:
+                    if "latent" in current and "cls" in current:
+                        yield (
+                            current_key,
+                            pickle.loads(current["latent"]),
+                            int(current["cls"].decode()),
+                        )
+                    current = {}
+                current_key = key
+                current[ext] = tf.extractfile(member).read()
+            if current and "latent" in current and "cls" in current:
+                yield (
+                    current_key,
+                    pickle.loads(current["latent"]),
+                    int(current["cls"].decode()),
+                )

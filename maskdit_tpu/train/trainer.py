@@ -1,0 +1,261 @@
+"""Config-driven training loop (the reference train.py:35-291 equivalent).
+
+Differences from the reference, by TPU design:
+  * one jitted train step fuses reparam/dropout/loss/opt/EMA — no host
+    round-trips except at log boundaries;
+  * schedule-varying mask ratios are bucketed (train/schedules.py) and each
+    distinct ratio gets its own compiled step, cached;
+  * checkpoints are sharded orbax saves (async), not rank-0 torch.save;
+  * resume state includes EMA + optimizer exactly like the reference's
+    {model, ema, opt} dict (train.py:259-268).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maskdit_tpu.data.datasets import (
+    ImageNetLatentDataset,
+    SyntheticLatentDataset,
+)
+from maskdit_tpu.data.loader import DataLoader, prefetch
+from maskdit_tpu.models.precond import create_model
+from maskdit_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    is_main_process,
+    mprint,
+)
+from maskdit_tpu.parallel.sharded import (
+    create_sharded_state,
+    make_sharded_train_step,
+)
+from maskdit_tpu.train.schedules import bucket_ratio, get_mask_ratio_fn
+from maskdit_tpu.train.state import make_optimizer
+from maskdit_tpu.utils.ckpt import CheckpointManager, graft_params, load_reference_checkpoint
+from maskdit_tpu.utils.logging import MetricLogger, Throughput
+
+
+def build_dataset(config) -> Any:
+    data = config.data
+    category = data.get("category", "lmdb")
+    if category == "synthetic":
+        return SyntheticLatentDataset(
+            length=data.get("length", 512),
+            resolution=data.resolution,
+            num_channels=data.num_channels,
+            label_dim=config.model.num_classes,
+        )
+    if category == "lmdb":
+        return ImageNetLatentDataset(
+            data.root,
+            resolution=data.resolution,
+            num_channels=data.num_channels,
+            xflip=config.train.get("xflip", False),
+            feat_path=data.get("feat_path"),
+            feat_dim=config.model.get("ext_feature_dim", 0),
+            label_dim=config.model.num_classes,
+        )
+    if category in ("wds", "webdataset"):
+        from maskdit_tpu.data.wds import WebDatasetLatents
+
+        return WebDatasetLatents(
+            data.root,
+            resolution=data.resolution,
+            num_channels=data.num_channels,
+            label_dim=config.model.num_classes,
+        )
+    raise ValueError(f"unknown data.category '{category}'")
+
+
+def experiment_name(config, global_batch: int) -> str:
+    """Reference exp-dir naming (train.py:92-94)."""
+    model_name = config.model.model_type.replace("/", "-")
+    cond = "cond" if config.model.num_classes else "uncond"
+    return (
+        f"{model_name}-{config.model.precond}-{config.data.dataset}-{cond}"
+        f"-m{config.model.mask_ratio}-de{int(config.model.use_decoder)}"
+        f"-mae{config.model.mae_loss_coef}-bs-{global_batch}"
+        f"-lr{config.train.lr}{config.log.get('tag', '')}"
+    )
+
+
+class Trainer:
+    def __init__(
+        self,
+        config,
+        results_dir: str = "results",
+        seed: int = 0,
+        ckpt_path: Optional[str] = None,
+        use_wandb: bool = False,
+        mesh_shape: Optional[dict] = None,
+        num_workers: int = 2,
+        max_steps_override: Optional[int] = None,
+    ):
+        self.config = config
+        self.seed = seed
+        self.mesh = create_mesh(mesh_shape)
+        n_dev = int(np.prod(list(self.mesh.shape.values())))
+
+        self.grad_accum = config.train.get("grad_accum", 1)
+        per_dev_batch = config.train.batchsize
+        self.global_batch = per_dev_batch * self.grad_accum * n_dev
+        self.local_batch = self.global_batch // jax.process_count()
+
+        self.max_steps = max_steps_override or config.train.max_num_steps
+        self.mask_ratio_fn = get_mask_ratio_fn(
+            config.model.get("mask_ratio_fn", "constant"),
+            config.model.mask_ratio,
+            config.model.get("mask_ratio_min", 0.0),
+        )
+        self.seq_len = (config.model.in_size // int(
+            config.model.model_type.rsplit("/", 1)[1])) ** 2
+
+        self.exp_name = experiment_name(config, self.global_batch)
+        self.exp_dir = os.path.join(results_dir, self.exp_name)
+        if is_main_process():
+            os.makedirs(self.exp_dir, exist_ok=True)
+
+        self.model = create_model(
+            config.model.precond,
+            img_resolution=config.model.in_size,
+            img_channels=config.model.in_channels,
+            num_classes=config.model.num_classes,
+            model_type=config.model.model_type,
+            use_decoder=config.model.use_decoder,
+            mae_loss_coef=config.model.mae_loss_coef,
+            pad_cls_token=config.model.get("pad_cls_token", False),
+            ext_feature_dim=config.model.get("ext_feature_dim", 0),
+            class_dropout_prob=config.model.get("class_dropout_prob", 0.1),
+            dtype=jnp.float32 if config.train.get("fp32", False) else jnp.bfloat16,
+        )
+        self.optimizer = make_optimizer(
+            config.train.lr,
+            global_batch_size=self.global_batch,
+            rampup_kimg=config.train.get("lr_rampup_kimg", 0) or 0,
+        )
+
+        with self.mesh:
+            self.state, self.shardings = create_sharded_state(
+                self.model, jax.random.PRNGKey(seed), self.optimizer, self.mesh,
+                batch_size=2, mask_ratio=config.model.mask_ratio or 0.5,
+            )
+
+        self.ckpt_mgr = CheckpointManager(
+            os.path.join(self.exp_dir, "checkpoints"), max_to_keep=4
+        )
+        self.start_step = 0
+        if ckpt_path is not None and ckpt_path.endswith(".pt"):
+            # import a released torch checkpoint (finetune path)
+            loaded = load_reference_checkpoint(ckpt_path, use_ema=False, strict=False)
+            ema = load_reference_checkpoint(ckpt_path, use_ema=True, strict=False)
+            params = graft_params(jax.device_get(self.state.params), loaded)
+            ema_params = graft_params(jax.device_get(self.state.ema_params), ema)
+            self.state = self.state.replace(
+                params=jax.device_put(params, self.shardings.params),
+                ema_params=jax.device_put(ema_params, self.shardings.ema_params),
+            )
+            mprint(f"imported reference checkpoint {ckpt_path}")
+        elif self.ckpt_mgr.latest_step() is not None:
+            abstract = jax.tree.map(lambda x: x, self.state)
+            self.state = self.ckpt_mgr.restore(abstract)
+            self.start_step = int(jax.device_get(self.state.step))
+            mprint(f"resumed from step {self.start_step}")
+
+        self.dataset = build_dataset(config)
+        self.loader = DataLoader(
+            self.dataset, self.local_batch, shuffle=True, seed=seed,
+            num_workers=num_workers,
+        )
+        self.metrics = MetricLogger(
+            self.exp_dir,
+            use_wandb=use_wandb,
+            wandb_kwargs=dict(
+                entity=config.get("wandb", {}).get("entity"),
+                project=config.get("wandb", {}).get("project"),
+                group=config.get("wandb", {}).get("group"),
+            ) if use_wandb else None,
+            config=config.to_container(),
+        )
+
+        self._step_cache: dict[float, Any] = {}
+
+    def _step_for_ratio(self, ratio: float):
+        ratio = bucket_ratio(ratio, self.seq_len)
+        if ratio not in self._step_cache:
+            self._step_cache[ratio] = make_sharded_train_step(
+                self.model, self.optimizer, self.mesh, self.shardings,
+                mask_ratio=ratio,
+                mae_loss_coef=self.config.model.mae_loss_coef,
+                class_dropout_prob=self.config.model.get("class_dropout_prob", 0.1),
+                grad_accum=self.grad_accum,
+            )
+        return self._step_cache[ratio]
+
+    def train(self, log_every: Optional[int] = None, ckpt_every: Optional[int] = None):
+        config = self.config
+        log_every = log_every or config.log.log_every
+        ckpt_every = ckpt_every or config.log.ckpt_every
+        rng = jax.random.PRNGKey(self.seed + 1)
+        data_sharding = batch_sharding(self.mesh)
+        throughput = Throughput()
+        running = []
+        step = self.start_step
+        mprint(
+            f"training {self.exp_name}: global batch {self.global_batch}, "
+            f"{len(self.dataset):,} samples, max {self.max_steps} steps"
+        )
+
+        with self.mesh:
+            for batch in prefetch(iter(self.loader), data_sharding, size=2):
+                if step >= self.start_step + self.max_steps:
+                    break
+                progress = (step - self.start_step) / max(self.max_steps, 1)
+                ratio = float(self.mask_ratio_fn(progress))
+                step_fn = self._step_for_ratio(ratio)
+                batch.pop("feat", None)
+                self.state, metrics = step_fn(self.state, batch, rng)
+                step += 1
+                running.append(metrics)
+                throughput.update(1, self.global_batch)
+
+                if step % log_every == 0:
+                    stacked = jax.device_get(running)
+                    avg = {
+                        k: float(np.mean([m[k] for m in stacked]))
+                        for k in stacked[0]
+                    }
+                    rates = throughput.rates()
+                    mprint(
+                        f"(step={step:07d}) loss={avg['loss']:.4f} "
+                        f"steps/sec={rates['steps_per_sec']:.3f} "
+                        f"imgs/sec={rates['images_per_sec']:.1f} "
+                        f"mask_ratio={ratio:.3f}"
+                    )
+                    if is_main_process():
+                        self.metrics.log(
+                            {"train/loss": avg["loss"],
+                             "train/grad_norm": avg.get("grad_norm", 0.0),
+                             "train/steps_per_sec": rates["steps_per_sec"],
+                             "train/images_per_sec": rates["images_per_sec"],
+                             "train/mask_ratio": ratio},
+                            step,
+                        )
+                    running = []
+                    throughput.reset()
+
+                if step % ckpt_every == 0:
+                    self.ckpt_mgr.save(step, self.state)
+                    mprint(f"checkpoint queued at step {step}")
+
+        if step not in self.ckpt_mgr.all_steps():
+            self.ckpt_mgr.save(step, self.state, force=True)
+        self.ckpt_mgr.wait()
+        mprint(f"training done at step {step}")
+        return step
