@@ -9,6 +9,7 @@ from maskdit_tpu.parallel.mesh import (
 )
 from maskdit_tpu.parallel.dist import (
     all_reduce_mean_scalar,
+    all_reduce_sum_array,
     barrier,
     init_distributed,
     is_main_process,
@@ -19,7 +20,8 @@ from maskdit_tpu.parallel.dist import (
 
 __all__ = [
     "AXES", "batch_sharding", "batch_spec", "create_mesh", "param_specs",
-    "replicated", "shardings_for", "all_reduce_mean_scalar", "barrier",
+    "replicated", "shardings_for", "all_reduce_mean_scalar",
+    "all_reduce_sum_array", "barrier",
     "init_distributed", "is_main_process", "mprint", "process_count",
     "process_index",
 ]

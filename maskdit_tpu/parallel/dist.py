@@ -69,6 +69,17 @@ def barrier(name: str = "barrier") -> None:
     multihost_utils.sync_global_devices(name)
 
 
+def all_reduce_sum_array(value: np.ndarray) -> np.ndarray:
+    """Sum a host-local numpy array across processes (reference:
+    dist.all_reduce at fid.py:78-79). Identity when single-process."""
+    if jax.process_count() == 1:
+        return np.asarray(value)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(jnp.asarray(value))
+    return np.asarray(gathered).sum(axis=0)
+
+
 def all_reduce_mean_scalar(value: float | np.ndarray) -> float:
     """Average a host-local python scalar across processes.
 

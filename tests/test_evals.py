@@ -1,0 +1,141 @@
+"""Evaluation stack tests: FID math, IS, P&R, inception port plumbing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maskdit_tpu.evals import fid as fid_lib
+from maskdit_tpu.evals import evaluator as ev
+from maskdit_tpu.evals import inception as inc
+
+
+def test_frechet_distance_known_gaussians():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(4000, 8))
+    shift = np.zeros(8)
+    shift[0] = 3.0
+    b = rng.normal(size=(4000, 8)) + shift
+    d = ev.frechet_distance(a, b)
+    assert abs(d - 9.0) < 0.5, d  # FID ~= ||mu_diff||^2 for equal covs
+    assert ev.frechet_distance(a, a) < 1e-6
+
+
+def test_streaming_stats_match_batch():
+    rng = np.random.default_rng(1)
+    feats = rng.normal(size=(500, 16))
+    s = fid_lib.StreamingStats(16)
+    for chunk in np.array_split(feats, 7):
+        s.update(chunk)
+    mu, sigma = s.finalize()
+    np.testing.assert_allclose(mu, feats.mean(axis=0), atol=1e-10)
+    np.testing.assert_allclose(
+        sigma, np.cov(feats, rowvar=False, bias=True), atol=1e-10
+    )
+
+
+def test_inception_score_limits():
+    n, k = 512, 10
+    uniform = np.zeros((n, k))
+    assert abs(ev.inception_score(uniform) - 1.0) < 1e-6
+    # confident + balanced predictions -> IS ~= k
+    confident = np.full((n, k), -50.0)
+    confident[np.arange(n), np.arange(n) % k] = 50.0
+    assert ev.inception_score(confident) > k - 0.5
+
+
+def test_precision_recall_limits():
+    rng = np.random.default_rng(2)
+    ref = rng.normal(size=(300, 8)).astype(np.float32)
+    prec, rec = ev.precision_recall(ref, ref.copy())
+    assert prec == 1.0 and rec == 1.0
+    far = ref + 1000.0
+    prec, rec = ev.precision_recall(ref, far)
+    assert prec == 0.0 and rec == 0.0
+
+
+def test_manifold_radii_are_knn():
+    pts = np.array([[0.0], [1.0], [3.0], [7.0]], dtype=np.float32)
+    m = ev.ManifoldEstimator(pts, nhood_size=1)
+    # squared distance to nearest non-self neighbor
+    np.testing.assert_allclose(m.radii, [1.0, 1.0, 4.0, 16.0])
+
+
+@pytest.mark.slow
+def test_inception_forward_shapes():
+    params = inc.random_params(jax.random.PRNGKey(0))
+    detector = inc.make_detector(params)
+    imgs = np.random.default_rng(0).integers(
+        0, 255, size=(2, 3, 64, 64), dtype=np.uint8
+    )
+    out = detector(jnp.asarray(imgs))
+    assert out["pool"].shape == (2, 2048)
+    assert out["spatial"].shape == (2, 7 * 17 * 17)
+    assert out["logits"].shape == (2, 1008)
+    assert np.isfinite(np.asarray(out["pool"])).all()
+
+
+def _torch_style_state_from_params(params, prefix=""):
+    """Invert our param tree to pytorch-fid key naming for converter tests."""
+    state = {}
+
+    def walk(node, path):
+        if isinstance(node, dict) and "kernel" in node and len(node) == 1:
+            # conv module
+            state[".".join(path) + ".weight"] = np.transpose(
+                node["kernel"], (3, 2, 0, 1)
+            )
+            return
+        if isinstance(node, dict) and set(node) >= {"scale", "bias", "mean", "var"}:
+            mod = ".".join(path)
+            state[mod + ".bn.weight"] = node["scale"]
+            state[mod + ".bn.bias"] = node["bias"]
+            state[mod + ".bn.running_mean"] = node["mean"]
+            state[mod + ".bn.running_var"] = node["var"]
+            walk({"conv": node["conv"]}, path) if "conv" in node else None
+            return
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "conv":
+                    state[".".join(path) + ".conv.weight"] = np.transpose(
+                        v["kernel"], (3, 2, 0, 1)
+                    )
+                elif k == "fc":
+                    state["fc.weight"] = np.asarray(v["kernel"]).T
+                    state["fc.bias"] = np.asarray(v["bias"])
+                else:
+                    walk(v, path + [k])
+
+    walk(params, [])
+    return state
+
+
+@pytest.mark.slow
+def test_convert_inception_roundtrip():
+    params = jax.tree.map(np.asarray, inc.random_params(jax.random.PRNGKey(1)))
+    state = _torch_style_state_from_params(params)
+    recovered = inc.convert_inception(state)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(recovered)
+    )
+    assert len(flat_a) == len(flat_b)
+    for path, val in flat_a:
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(val, flat_b[key], atol=1e-6, err_msg=key)
+
+
+def test_png_folder_to_npz(tmp_path):
+    from PIL import Image
+
+    d = tmp_path / "pngs"
+    d.mkdir()
+    for i in range(3):
+        Image.fromarray(
+            np.full((8, 8, 3), i * 40, dtype=np.uint8)
+        ).save(d / f"{i}.png")
+    out = tmp_path / "batch.npz"
+    ev.png_folder_to_npz(str(d), str(out))
+    with np.load(out) as z:
+        assert z["arr_0"].shape == (3, 8, 8, 3)
