@@ -79,9 +79,8 @@ def main() -> None:
     vae_params = jax.tree.map(
         jnp.asarray, convert_vae(load_torch_state_dict(args.pretrained_path))
     )
-    vae_apply = jax.jit(
-        lambda z: vae.apply({"params": vae_params}, z, method="decode")
-    )
+    decode = jax.jit(lambda p, z: vae.apply({"params": p}, z, method="decode"))
+    vae_apply = lambda z: decode(vae_params, z)
 
     outdir = os.path.join(
         args.outdir,

@@ -73,9 +73,10 @@ def main() -> None:
     vae_params = jax.tree.map(
         jnp.asarray, convert_vae(load_torch_state_dict(args.ckpt))
     )
-    encode = jax.jit(
-        lambda x: vae.apply({"params": vae_params}, x, method="encode_moments")
+    encode_p = jax.jit(
+        lambda p, x: vae.apply({"params": p}, x, method="encode_moments")
     )
+    encode = lambda x: encode_p(vae_params, x)
 
     outdir = os.path.join(
         args.outdir, f"{args.data_name}_{args.resolution}_latent_lmdb", args.split

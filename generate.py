@@ -62,7 +62,10 @@ def load_params(args, model):
     # orbax checkpoint: restore ema_params from a TrainState save
     import orbax.checkpoint as ocp
 
-    ckpt = ocp.StandardCheckpointer().restore(os.path.abspath(args.ckpt_path))
+    path = os.path.abspath(args.ckpt_path)
+    if os.path.isdir(os.path.join(path, "default")):
+        path = os.path.join(path, "default")  # CheckpointManager item layout
+    ckpt = ocp.StandardCheckpointer().restore(path)
     tree = ckpt.get("ema_params", ckpt.get("params", ckpt))
     return jax.tree.map(jnp.asarray, tree)
 
@@ -141,9 +144,10 @@ def main() -> None:
         vae = AutoencoderKL()
         vae_params = convert_vae(load_torch_state_dict(args.pretrained_path))
         vae_params = jax.tree.map(jnp.asarray, vae_params)
-        vae_apply = jax.jit(
-            lambda z: vae.apply({"params": vae_params}, z, method="decode")
+        decode = jax.jit(
+            lambda p, z: vae.apply({"params": p}, z, method="decode")
         )
+        vae_apply = lambda z: decode(vae_params, z)
 
     sampler_cfg = SamplerConfig(
         num_steps=args.num_steps,

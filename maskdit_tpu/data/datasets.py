@@ -140,13 +140,15 @@ class ImageNetLatentDataset(Dataset):
         feat_dim: int = 0,
         **super_kwargs,
     ):
+        from maskdit_tpu.data.native_io import open_reader
+
         self._path = os.path.join(path, split)
         self.feat_dim = feat_dim
-        self._db = lmdb_lite.Reader(self._path)
+        self._db = open_reader(self._path)  # C++ mmap reader when available
         self._feat_db = None
         if feat_path not in (None, "None", "") and os.path.isdir(str(feat_path)):
             assert feat_dim > 0
-            self._feat_db = lmdb_lite.Reader(os.path.join(feat_path, split))
+            self._feat_db = open_reader(os.path.join(feat_path, split))
 
         length = int(self._db.get(b"length").decode("utf-8"))
         raw_shape = [length, num_channels, resolution, resolution]

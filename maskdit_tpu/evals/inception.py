@@ -195,10 +195,10 @@ def make_detector(params: Any, num_logits: int = 1008):
     model = InceptionV3(num_logits=num_logits)
 
     @jax.jit
-    def detect(images_uint8):
-        return model.apply({"params": params}, preprocess(images_uint8))
+    def detect(p, images_uint8):
+        return model.apply({"params": p}, preprocess(images_uint8))
 
-    return detect
+    return lambda images_uint8: detect(params, images_uint8)
 
 
 def random_params(rng: jax.Array, num_logits: int = 1008) -> Any:

@@ -63,6 +63,8 @@ class MaskDiT(nn.Module):
     use_encoder_feat: bool = False
     dtype: Any = jnp.bfloat16
     use_flash: Optional[bool] = None
+    remat: bool = False  # jax.checkpoint each block: activations are
+    # recomputed in backward, trading ~30% FLOPs for O(depth) less memory
 
     @property
     def out_channels(self) -> int:
@@ -98,8 +100,9 @@ class MaskDiT(nn.Module):
             self.feat_embedder = nn.Dense(
                 self.hidden_size, kernel_init=normal_002, dtype=self.dtype
             )
+        block_cls = nn.remat(DiTBlock) if self.remat else DiTBlock
         self.blocks = [
-            DiTBlock(
+            block_cls(
                 self.hidden_size, self.hidden_size, self.num_heads,
                 mlp_ratio=self.mlp_ratio, dtype=self.dtype, use_flash=self.use_flash,
             )
@@ -111,7 +114,7 @@ class MaskDiT(nn.Module):
                 self.hidden_size, DECODER_HIDDEN_SIZE, dtype=self.dtype
             )
             self.decoder_blocks = [
-                DiTBlock(
+                block_cls(
                     DECODER_HIDDEN_SIZE, self.hidden_size, DECODER_NUM_HEADS,
                     mlp_ratio=self.mlp_ratio, dtype=self.dtype,
                     use_flash=self.use_flash,

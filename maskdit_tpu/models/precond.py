@@ -42,6 +42,7 @@ class EDMPrecond(nn.Module):
     learn_sigma: bool = False
     dtype: Any = jnp.bfloat16
     use_flash: Optional[bool] = None
+    remat: bool = False
 
     def setup(self) -> None:
         self.model: MaskDiT = create_dit(
@@ -58,6 +59,7 @@ class EDMPrecond(nn.Module):
             learn_sigma=self.learn_sigma,
             dtype=self.dtype,
             use_flash=self.use_flash,
+            remat=self.remat,
         )
 
     def _coerce_labels(self, x: jax.Array, class_labels) -> Optional[jax.Array]:

@@ -54,18 +54,6 @@ def make_sample_fn(
 ) -> Callable[[jax.Array, jax.Array], jax.Array]:
     """Build a jitted (latents, labels) -> denoised-latents function."""
 
-    def denoise_with(labels):
-        def denoise(x, sigma):
-            return model.apply(
-                {"params": params},
-                x,
-                jnp.full((x.shape[0],), sigma, jnp.float32),
-                labels,
-                cfg_scale=cfg.cfg_scale,
-            )["x"]
-
-        return denoise
-
     kwargs: dict = {"num_steps": cfg.num_steps, "S_churn": cfg.S_churn}
     kwargs.update(cfg.extra)
 
@@ -80,12 +68,26 @@ def make_sample_fn(
     else:
         sampler = edm_sampler
 
+    # params enter as an explicit jit argument: closure-captured arrays
+    # would be inlined as HLO *constants* (hundreds of MB for real models).
     @jax.jit
-    def sample(latents, labels, rng):
-        churn_rng = rng if cfg.S_churn > 0 else None
-        return sampler(denoise_with(labels), latents, rng=churn_rng, **kwargs)
+    def sample(params, latents, labels, rng):
+        def denoise(x, sigma):
+            return model.apply(
+                {"params": params},
+                x,
+                jnp.full((x.shape[0],), sigma, jnp.float32),
+                labels,
+                cfg_scale=cfg.cfg_scale,
+            )["x"]
 
-    return sample
+        churn_rng = rng if cfg.S_churn > 0 else None
+        return sampler(denoise, latents, rng=churn_rng, **kwargs)
+
+    def bound(latents, labels, rng):
+        return sample(params, latents, labels, rng)
+
+    return bound
 
 
 def decode_images(vae_apply: Callable, z: jax.Array, max_split: int = 4) -> np.ndarray:
