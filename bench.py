@@ -73,21 +73,37 @@ def build(batch: int):
     return state, step, batch_data, rng
 
 
+# bf16 peak of one v5e chip; used to reject bogus timings (an async
+# runtime that does not truly block would report impossible throughput)
+V5E_PEAK_TFLOPS = 197.0
+TRAIN_FLOPS_PER_IMAGE = 225e9  # ~3x masked fwd (75 GF) for XL/2 @ 256
+
+
 def run(batch: int, warmup: int = 2, iters: int = 10) -> float:
     state, step, batch_data, rng = build(batch)
     for i in range(warmup):
         state, metrics = step(state, batch_data, rng)
-    jax.block_until_ready(state.params)
+    # honest sync: fetch a scalar derived from the full step
+    float(jax.device_get(metrics["loss"]))
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step(state, batch_data, rng)
+    # device_get forces a value round-trip; block_until_ready alone has
+    # been observed to return early under tunneled runtimes
+    loss = float(jax.device_get(metrics["loss"]))
     jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / iters
-    loss = float(jax.device_get(metrics["loss"]))
     log(f"batch={batch}: {dt*1e3:.1f} ms/step, loss={loss:.4f}")
     if not jnp.isfinite(loss):
         raise RuntimeError(f"non-finite loss {loss}")
-    return batch / dt
+    imgs_per_sec = batch / dt
+    tflops = imgs_per_sec * TRAIN_FLOPS_PER_IMAGE / 1e12
+    log(f"implied compute: {tflops:.1f} TFLOP/s (peak {V5E_PEAK_TFLOPS})")
+    if tflops > V5E_PEAK_TFLOPS:
+        raise RuntimeError(
+            f"implied {tflops:.0f} TFLOP/s exceeds chip peak - timing invalid"
+        )
+    return imgs_per_sec
 
 
 def main() -> None:

@@ -131,20 +131,21 @@ def supports(l: int) -> bool:
 
 
 def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """(N, H, L, hd) fused attention; falls back if L is not lane-aligned."""
+    """(N, H, L, hd) fused attention; falls back if L is not lane-aligned.
+
+    The head dim is passed through unpadded — Mosaic pads the lane dim
+    inside VMEM, which costs nothing in HBM (a host-side jnp.pad to 128
+    lanes would 4x the decoder's attention traffic at hd=32).
+    """
     n, h, l, hd = q.shape
     if not supports(l):
         from maskdit_tpu.ops.attention import mha_reference
 
         return mha_reference(q, k, v)
     scale = hd ** -0.5
-    pad = (-hd) % LANE
 
     def prep(x):
-        if pad:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad)))
-        return x.reshape(n * h, l, hd + pad)
+        return x.reshape(n * h, l, hd)
 
     out = _flash(prep(q), prep(k), prep(v), scale)
-    out = out.reshape(n, h, l, hd + pad)
-    return out[..., :hd] if pad else out
+    return out.reshape(n, h, l, hd)

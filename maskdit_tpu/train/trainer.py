@@ -97,7 +97,11 @@ class Trainer:
         mesh_shape: Optional[dict] = None,
         num_workers: int = 2,
         max_steps_override: Optional[int] = None,
+        eval_hook: Optional[Any] = None,
     ):
+        # eval_hook(step, ema_params) -> dict of metrics; invoked after each
+        # checkpoint (the reference's in-training FID eval, train.py:273-287)
+        self.eval_hook = eval_hook
         self.config = config
         self.seed = seed
         self.mesh = create_mesh(mesh_shape)
@@ -253,6 +257,15 @@ class Trainer:
                 if step % ckpt_every == 0:
                     self.ckpt_mgr.save(step, self.state)
                     mprint(f"checkpoint queued at step {step}")
+                    if self.eval_hook is not None:
+                        eval_metrics = self.eval_hook(step, self.state.ema_params)
+                        mprint(f"(step={step:07d}) eval: {eval_metrics}")
+                        if is_main_process() and eval_metrics:
+                            self.metrics.log(
+                                {f"eval/{k}": v for k, v in eval_metrics.items()},
+                                step,
+                            )
+                        throughput.reset()
 
         if step not in self.ckpt_mgr.all_steps():
             self.ckpt_mgr.save(step, self.state, force=True)

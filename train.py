@@ -30,6 +30,65 @@ from maskdit_tpu.utils import config as config_lib
 from maskdit_tpu.utils.logging import Logger, parse_str_none, str2bool
 
 
+def make_eval_hook(cfg, args):
+    """Sample-and-FID hook run after each checkpoint (train.py:273-287)."""
+    import jax.numpy as jnp
+
+    from maskdit_tpu.evals import fid as fid_lib
+    from maskdit_tpu.models import create_model
+    from maskdit_tpu.sampling.generate import SamplerConfig, generate_with_params
+    from maskdit_tpu.utils.logging import parse_float_none, parse_int_list
+
+    seeds = parse_int_list(args.eval_seeds)
+    cfg_scale = parse_float_none(args.cfg_scale)
+
+    eval_model = create_model(
+        cfg.model.precond,
+        img_resolution=cfg.model.in_size,
+        img_channels=cfg.model.in_channels,
+        num_classes=cfg.model.num_classes,
+        model_type=cfg.model.model_type,
+        use_decoder=cfg.model.use_decoder,
+        mae_loss_coef=cfg.model.mae_loss_coef,
+        pad_cls_token=cfg.model.get("pad_cls_token", False),
+        dtype=jnp.bfloat16,
+    )
+
+    from maskdit_tpu.models.vae import AutoencoderKL
+    from maskdit_tpu.utils.port import convert_vae, load_torch_state_dict
+
+    vae = AutoencoderKL()
+    vae_params = jax.tree.map(
+        jnp.asarray, convert_vae(load_torch_state_dict(args.pretrained_path))
+    )
+    decode = jax.jit(lambda p, z: vae.apply({"params": p}, z, method="decode"))
+    vae_apply = lambda z: decode(vae_params, z)
+
+    import fid as fid_cli
+
+    args.random_detector = False
+    detector = fid_cli.build_detector(args)
+
+    def hook(step: int, ema_params) -> dict:
+        outdir = os.path.join(
+            args.results_dir, "fid",
+            f"edm-steps{args.num_steps}-ckpt{step}_cfg{cfg_scale}",
+        )
+        generate_with_params(
+            eval_model, ema_params, seeds, outdir,
+            SamplerConfig(num_steps=args.num_steps, cfg_scale=cfg_scale),
+            vae_apply=vae_apply, max_batch_size=args.max_batch_size,
+            rank=jax.process_index(), world=jax.process_count(),
+        )
+        value = fid_lib.calc(
+            outdir, cfg.eval.ref_path, args.num_expected, args.global_seed,
+            args.fid_batch_size, detector,
+        )
+        return {"fid": value}
+
+    return hook
+
+
 def main() -> None:
     parser = argparse.ArgumentParser("training parameters")
     parser.add_argument("--config", type=str, required=True)
@@ -47,6 +106,17 @@ def main() -> None:
                         help="multi-host coordinator address host:port")
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
+    # in-training FID eval (reference: train.py:273-287)
+    parser.add_argument("--enable_eval", action="store_true")
+    parser.add_argument("--eval_seeds", type=str, default="0-9999")
+    parser.add_argument("--cfg_scale", type=str, default="None")
+    parser.add_argument("--num_steps", type=int, default=40)
+    parser.add_argument("--max_batch_size", type=int, default=50)
+    parser.add_argument("--num_expected", type=int, default=10000)
+    parser.add_argument("--fid_batch_size", type=int, default=64)
+    parser.add_argument("--pretrained_path", type=str,
+                        default="assets/stable_diffusion/autoencoder_kl.pth")
+    parser.add_argument("--detector_path", type=str, default=None)
     parser.add_argument("overrides", nargs="*",
                         help="config overrides: a.b.c=value")
     args = parser.parse_args()
@@ -70,6 +140,10 @@ def main() -> None:
 
     from maskdit_tpu.train.trainer import Trainer
 
+    eval_hook = None
+    if args.enable_eval:
+        eval_hook = make_eval_hook(cfg, args)
+
     trainer = Trainer(
         cfg,
         results_dir=args.results_dir,
@@ -79,6 +153,7 @@ def main() -> None:
         mesh_shape=mesh_shape,
         num_workers=args.num_workers,
         max_steps_override=args.max_steps,
+        eval_hook=eval_hook,
     )
     logger = None
     if is_main_process():
