@@ -42,7 +42,7 @@ class EDMPrecond(nn.Module):
     learn_sigma: bool = False
     dtype: Any = jnp.bfloat16
     use_flash: Optional[bool] = None
-    remat: bool = False
+    remat: Any = False
 
     def setup(self) -> None:
         self.model: MaskDiT = create_dit(

@@ -65,6 +65,11 @@ def make_optimizer(
         )
     else:
         schedule = base_lr
+    if weight_decay == 0.0:
+        # adam == adamw at wd 0, minus one full decay pass over the params
+        return optax.adam(
+            learning_rate=schedule, b1=betas[0], b2=betas[1], eps=eps
+        )
     return optax.adamw(
         learning_rate=schedule, b1=betas[0], b2=betas[1], eps=eps,
         weight_decay=weight_decay,
@@ -113,6 +118,7 @@ def make_train_step(
     grad_accum: int = 1,
     scale_factor: float = 0.18215,
     reparam_moments: bool = True,
+    log_grad_norm: bool = True,  # costs one extra pass over the gradients
 ) -> Callable[[TrainState, dict, jax.Array], tuple[TrainState, dict]]:
     """Build the jittable train step.
 
@@ -190,11 +196,9 @@ def make_train_step(
             new_params, state.ema_params, step_size=1.0 - ema_decay
         )
 
-        metrics = {
-            "loss": loss,
-            "grad_norm": optax.global_norm(grads),
-            **aux,
-        }
+        metrics = {"loss": loss, **aux}
+        if log_grad_norm:
+            metrics["grad_norm"] = optax.global_norm(grads)
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,

@@ -139,3 +139,28 @@ def test_synthetic_dataset():
     assert y.shape == (5,)
     z2, _ = ds[0]
     np.testing.assert_array_equal(z, z2)  # deterministic
+
+
+def test_wds_roundtrip(tmp_path):
+    """write_wds_shards -> WebDatasetLatents / iterate_samples round trip."""
+    from maskdit_tpu.data.wds import WebDatasetLatents, iterate_samples, write_wds_shards
+
+    rng = np.random.RandomState(3)
+    records = [
+        (f"{i:07d}", rng.randn(8, 4, 4).astype(np.float32), i % 5)
+        for i in range(25)
+    ]
+    outdir = str(tmp_path / "wds")
+    paths = write_wds_shards(records, outdir, maxcount=10)
+    assert len(paths) == 3  # 25 records / 10 per shard
+
+    ds = WebDatasetLatents(outdir, resolution=4, num_channels=8, label_dim=5)
+    assert len(ds) == 25
+    z, y = ds[7]
+    np.testing.assert_array_equal(z, records[7][1])
+    assert y[records[7][2]] == 1
+
+    streamed = list(iterate_samples(paths))
+    assert len(streamed) == 25
+    np.testing.assert_array_equal(streamed[3][1], records[3][1])
+    assert streamed[3][2] == records[3][2]

@@ -172,3 +172,27 @@ def test_xl2_param_count():
     )
     # encoder-only DiT-XL/2 is ~675M; decoder adds ~57M
     assert 650_000_000 < n_params < 760_000_000, n_params
+
+
+def test_self_conditioning_path():
+    """use_encoder_feat: eval forward runs encode() then conditions on it
+    (reference: maskdit.py:518-519, 454-457)."""
+    model = tiny_model(use_encoder_feat=True)
+    variables = init_vars(model)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 4, 8, 8))
+    t = jnp.ones((2,))
+    y = jax.nn.one_hot(jnp.array([0, 1]), 10)
+    out = model.apply(variables, x, t, y, train=False)
+    assert out["x"].shape == (2, 4, 8, 8)
+
+
+def test_pad_cls_token_path():
+    model = tiny_model(pad_cls_token=True)
+    variables = init_vars(model, mask_ratio=0.5, train=True)
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 4, 8, 8))
+    out = model.apply(
+        variables, x, jnp.ones((2,)), jax.nn.one_hot(jnp.array([1, 2]), 10),
+        mask_ratio=0.5, train=True, rngs={"mask": jax.random.PRNGKey(7)},
+    )
+    assert out["x"].shape == (2, 4, 8, 8)
+    assert out["mask"].shape == (2, 16)
