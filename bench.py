@@ -76,7 +76,15 @@ def build(batch: int):
 # bf16 peak of one v5e chip; used to reject bogus timings (an async
 # runtime that does not truly block would report impossible throughput)
 V5E_PEAK_TFLOPS = 197.0
-TRAIN_FLOPS_PER_IMAGE = 225e9  # ~3x masked fwd (75 GF) for XL/2 @ 256
+
+
+def _train_flops_per_image() -> float:
+    from maskdit_tpu.utils.profiling import maskdit_train_flops_per_image
+
+    return maskdit_train_flops_per_image("DiT-XL/2", 32, 0.5, True)
+
+
+TRAIN_FLOPS_PER_IMAGE = _train_flops_per_image()  # ~393 GF (XL/2 @256, mask .5)
 
 
 def run(batch: int, warmup: int = 2, iters: int = 10) -> float:

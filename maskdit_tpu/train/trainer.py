@@ -40,6 +40,11 @@ from maskdit_tpu.train.schedules import bucket_ratio, get_mask_ratio_fn
 from maskdit_tpu.train.state import make_optimizer
 from maskdit_tpu.utils.ckpt import CheckpointManager, graft_params, load_reference_checkpoint
 from maskdit_tpu.utils.logging import MetricLogger, Throughput
+from maskdit_tpu.utils.profiling import (
+    device_memory_stats,
+    maskdit_train_flops_per_image,
+    mfu,
+)
 
 
 def build_dataset(config) -> Any:
@@ -236,11 +241,22 @@ class Trainer:
                         for k in stacked[0]
                     }
                     rates = throughput.rates()
+                    try:
+                        flops_img = maskdit_train_flops_per_image(
+                            self.config.model.model_type,
+                            self.config.model.in_size, ratio,
+                            self.config.model.use_decoder,
+                        )
+                        util = mfu(rates["images_per_sec"], flops_img)
+                    except Exception:
+                        util = 0.0
+                    mem = device_memory_stats()
                     mprint(
                         f"(step={step:07d}) loss={avg['loss']:.4f} "
                         f"steps/sec={rates['steps_per_sec']:.3f} "
                         f"imgs/sec={rates['images_per_sec']:.1f} "
-                        f"mask_ratio={ratio:.3f}"
+                        f"mfu={util:.1%} mask_ratio={ratio:.3f} "
+                        f"hbm={mem.get('mem_peak_gib', 0):.1f}GiB"
                     )
                     if is_main_process():
                         self.metrics.log(
@@ -248,7 +264,9 @@ class Trainer:
                              "train/grad_norm": avg.get("grad_norm", 0.0),
                              "train/steps_per_sec": rates["steps_per_sec"],
                              "train/images_per_sec": rates["images_per_sec"],
-                             "train/mask_ratio": ratio},
+                             "train/mfu": util,
+                             "train/mask_ratio": ratio,
+                             **{f"train/{k}": v for k, v in mem.items()}},
                             step,
                         )
                     running = []
