@@ -104,6 +104,13 @@ def main() -> None:
     parser.add_argument("--pad_cls_token", type=str2bool, default=False)
     parser.add_argument("--mae_loss_coef", type=float, default=0)
     parser.add_argument("--ext_feature_dim", type=int, default=0)
+    parser.add_argument("--use_encoder_feat", type=str2bool, default=False,
+                        help="self-conditioning via pooled encoder feature "
+                        "(the reference's generate.py reads an undefined "
+                        "config.model.self_cond here — SURVEY.md §5)")
+    parser.add_argument("--feat_path", type=str, default="")
+    parser.add_argument("--sample_mode", type=str, default="rand_full",
+                        choices=["rand_full", "rand_repeat", "rand_y"])
     parser.add_argument("--use_strict_load", type=str2bool, default=True)
     parser.add_argument("--fp32", action="store_true",
                         help="run the denoiser in fp32 (parity mode)")
@@ -131,6 +138,7 @@ def main() -> None:
         mae_loss_coef=args.mae_loss_coef,
         pad_cls_token=args.pad_cls_token,
         ext_feature_dim=args.ext_feature_dim,
+        use_encoder_feat=args.use_encoder_feat,
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
     )
     params = load_params(args, model)

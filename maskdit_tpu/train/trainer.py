@@ -211,6 +211,24 @@ class Trainer:
         config = self.config
         log_every = log_every or config.log.log_every
         ckpt_every = ckpt_every or config.log.ckpt_every
+
+        # Preemption-aware save: on SIGTERM/SIGINT finish the current step,
+        # checkpoint, then exit cleanly so resume loses nothing (the
+        # reference can only resume from its last periodic save).
+        import signal
+
+        stop_requested = {"flag": False}
+
+        def _request_stop(signum, frame):
+            mprint(f"signal {signum}: checkpointing and stopping...")
+            stop_requested["flag"] = True
+
+        prev_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _request_stop)
+            except ValueError:
+                pass  # not the main thread
         rng = jax.random.PRNGKey(self.seed + 1)
         data_sharding = batch_sharding(self.mesh)
         throughput = Throughput()
@@ -223,7 +241,7 @@ class Trainer:
 
         with self.mesh:
             for batch in prefetch(iter(self.loader), data_sharding, size=2):
-                if step >= self.start_step + self.max_steps:
+                if step >= self.start_step + self.max_steps or stop_requested["flag"]:
                     break
                 progress = (step - self.start_step) / max(self.max_steps, 1)
                 ratio = float(self.mask_ratio_fn(progress))
@@ -288,5 +306,7 @@ class Trainer:
         if step not in self.ckpt_mgr.all_steps():
             self.ckpt_mgr.save(step, self.state, force=True)
         self.ckpt_mgr.wait()
+        for sig, handler in prev_handlers.items():
+            signal.signal(sig, handler)
         mprint(f"training done at step {step}")
         return step

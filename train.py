@@ -117,9 +117,14 @@ def main() -> None:
     parser.add_argument("--pretrained_path", type=str,
                         default="assets/stable_diffusion/autoencoder_kl.pth")
     parser.add_argument("--detector_path", type=str, default=None)
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="raise on NaN/Inf in any compiled computation")
     parser.add_argument("overrides", nargs="*",
                         help="config overrides: a.b.c=value")
     args = parser.parse_args()
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     init_distributed(args.coordinator, args.num_processes, args.process_id)
 
