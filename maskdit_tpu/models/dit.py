@@ -39,6 +39,61 @@ DECODER_DEPTH = 8  # reference: maskdit.py:311
 DECODER_NUM_HEADS = 16  # reference: maskdit.py:312
 
 
+class _ScanBody(nn.Module):
+    """One scan step: apply a DiTBlock, thread x as the carry."""
+
+    block_cls: Any
+    hidden_size: int
+    c_emb_size: int
+    num_heads: int
+    mlp_ratio: float
+    dtype: Any
+    use_flash: Optional[bool]
+
+    @nn.compact
+    def __call__(self, x, c):
+        x = self.block_cls(
+            self.hidden_size, self.c_emb_size, self.num_heads,
+            mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+            use_flash=self.use_flash, name="block",
+        )(x, c)
+        return x, None
+
+
+class ScannedBlocks(nn.Module):
+    """depth x DiTBlock as one lax.scan over stacked params.
+
+    Identical math to the unrolled list; params gain a leading (depth,)
+    axis (path: <name>/scan/block/...). HLO is ~depth-x smaller, which
+    matters when XLA compile time is the bottleneck.
+    """
+
+    block_cls: Any
+    depth: int
+    hidden_size: int
+    c_emb_size: int
+    num_heads: int
+    mlp_ratio: float
+    dtype: Any
+    use_flash: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
+        scan = nn.scan(
+            _ScanBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.depth,
+            in_axes=nn.broadcast,
+        )
+        x, _ = scan(
+            self.block_cls, self.hidden_size, self.c_emb_size,
+            self.num_heads, self.mlp_ratio, self.dtype, self.use_flash,
+            name="scan",
+        )(x, c)
+        return x
+
+
 class MaskDiT(nn.Module):
     """Diffusion transformer with masked-token training.
 
@@ -68,6 +123,11 @@ class MaskDiT(nn.Module):
     # activation memory); 'full' recomputes everything (measured 2.5x
     # slower steps on v5e - use only when memory-bound)
     remat: Any = False  # False/'none' | True/'full' | 'dots'
+    # scan_blocks stacks the depth-identical blocks into one lax.scan:
+    # ~depth-x smaller HLO (much faster XLA compiles) at identical math.
+    # Param layout gains a leading (depth,) axis; utils/port.stack_blocks
+    # converts between layouts.
+    scan_blocks: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -111,26 +171,41 @@ class MaskDiT(nn.Module):
             )
         else:
             block_cls = DiTBlock
-        self.blocks = [
-            block_cls(
-                self.hidden_size, self.hidden_size, self.num_heads,
-                mlp_ratio=self.mlp_ratio, dtype=self.dtype, use_flash=self.use_flash,
+        if self.scan_blocks:
+            self.blocks = ScannedBlocks(
+                block_cls, self.depth, self.hidden_size, self.hidden_size,
+                self.num_heads, self.mlp_ratio, self.dtype, self.use_flash,
+                name="blocks",
             )
-            for _ in range(self.depth)
-        ]
+        else:
+            self.blocks = [
+                block_cls(
+                    self.hidden_size, self.hidden_size, self.num_heads,
+                    mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                    use_flash=self.use_flash,
+                )
+                for _ in range(self.depth)
+            ]
         final_hidden_size = self.hidden_size
         if self.use_decoder:
             self.decoder_layer = DecoderLayer(
                 self.hidden_size, DECODER_HIDDEN_SIZE, dtype=self.dtype
             )
-            self.decoder_blocks = [
-                block_cls(
-                    DECODER_HIDDEN_SIZE, self.hidden_size, DECODER_NUM_HEADS,
-                    mlp_ratio=self.mlp_ratio, dtype=self.dtype,
-                    use_flash=self.use_flash,
+            if self.scan_blocks:
+                self.decoder_blocks = ScannedBlocks(
+                    block_cls, DECODER_DEPTH, DECODER_HIDDEN_SIZE,
+                    self.hidden_size, DECODER_NUM_HEADS, self.mlp_ratio,
+                    self.dtype, self.use_flash, name="decoder_blocks",
                 )
-                for _ in range(DECODER_DEPTH)
-            ]
+            else:
+                self.decoder_blocks = [
+                    block_cls(
+                        DECODER_HIDDEN_SIZE, self.hidden_size,
+                        DECODER_NUM_HEADS, mlp_ratio=self.mlp_ratio,
+                        dtype=self.dtype, use_flash=self.use_flash,
+                    )
+                    for _ in range(DECODER_DEPTH)
+                ]
             if self.mae_loss_coef > 0:
                 # learned mask token exists only with the MAE aux loss
                 # (reference: maskdit.py:323-324)
@@ -169,6 +244,14 @@ class MaskDiT(nn.Module):
         return jnp.asarray(tab)[None]
 
     # -- pieces -------------------------------------------------------------
+    @staticmethod
+    def _run_blocks(blocks, x: jax.Array, c: jax.Array) -> jax.Array:
+        if isinstance(blocks, ScannedBlocks):
+            return blocks(x, c)
+        for block in blocks:
+            x = block(x, c)
+        return x
+
     def _condition(self, t: jax.Array, y: Optional[jax.Array],
                    feat: Optional[jax.Array]) -> jax.Array:
         """c = t_emb + y_emb (+ feat_emb) (reference: maskdit.py:491-504)."""
@@ -210,8 +293,7 @@ class MaskDiT(nn.Module):
         """Pooled encoder feature for self-conditioning (reference: :426-464)."""
         x, mask_info = self._embed_and_mask(x, mask_ratio, mask_info, train=True)
         c = self._condition(t, y, feat)
-        for block in self.blocks:
-            x = block(x, c)
+        x = self._run_blocks(self.blocks, x, c)
         x_feat = jnp.mean(x[:, self.extras:, :], axis=1)
         return layer_norm_no_affine(x_feat), mask_info
 
@@ -226,8 +308,7 @@ class MaskDiT(nn.Module):
             feat, _ = self.encode(x, t, y)
         x_tok, mask_info = self._embed_and_mask(x, mask_ratio, mask_info, train)
         c = self._condition(t, y, feat)
-        for block in self.blocks:
-            x_tok = block(x_tok, c)
+        x_tok = self._run_blocks(self.blocks, x_tok, c)
 
         if mask_ratio > 0:
             out["mask"] = mask_info.mask
@@ -248,8 +329,7 @@ class MaskDiT(nn.Module):
                     extras=self.decoder_extras,
                 )
             x_tok = x_tok + self._decoder_pos_embed().astype(self.dtype)
-            for block in self.decoder_blocks:
-                x_tok = block(x_tok, c)
+            x_tok = self._run_blocks(self.decoder_blocks, x_tok, c)
 
         x_tok = self.final_layer(x_tok, c)
         if not self.use_decoder and train and mask_ratio > 0:

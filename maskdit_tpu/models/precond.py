@@ -43,6 +43,7 @@ class EDMPrecond(nn.Module):
     dtype: Any = jnp.bfloat16
     use_flash: Optional[bool] = None
     remat: Any = False
+    scan_blocks: bool = False
 
     def setup(self) -> None:
         self.model: MaskDiT = create_dit(
@@ -60,6 +61,7 @@ class EDMPrecond(nn.Module):
             dtype=self.dtype,
             use_flash=self.use_flash,
             remat=self.remat,
+            scan_blocks=self.scan_blocks,
         )
 
     def _coerce_labels(self, x: jax.Array, class_labels) -> Optional[jax.Array]:

@@ -103,8 +103,13 @@ def param_specs(
 
 
 def _fit_spec(spec: P, shape: tuple[int, ...], mesh: Mesh) -> P:
-    """Drop sharded axes that do not divide the dimension; pad rank."""
-    parts = list(spec) + [None] * (len(shape) - len(spec))
+    """Drop sharded axes that do not divide the dimension; pad rank.
+
+    Rank padding goes on the FRONT: a 2-d rule like P('fsdp', 'tensor')
+    applied to a scan-stacked (depth, in, out) leaf shards the matrix dims,
+    leaving the stacking axis replicated.
+    """
+    parts = [None] * (len(shape) - len(spec)) + list(spec)
     out = []
     for dim, axis in zip(shape, parts):
         if axis is None:

@@ -20,6 +20,7 @@ from __future__ import annotations
 import re
 from typing import Any, Mapping
 
+import jax
 import numpy as np
 
 
@@ -147,6 +148,57 @@ def convert_maskdit(state: Mapping[str, np.ndarray]) -> dict:
         if not allowed:
             raise KeyError(f"unhandled non-model keys: {skipped}")
     return params
+
+
+def stack_scan_blocks(params: dict) -> dict:
+    """Unrolled block layout -> scan layout.
+
+    blocks_0..blocks_{n-1} subtrees become one 'blocks/scan/block' subtree
+    whose leaves carry a leading (depth,) axis (models/dit.ScannedBlocks).
+    """
+    out: dict[str, Any] = {}
+    m = params["model"]
+    groups: dict[str, list] = {"blocks": [], "decoder_blocks": []}
+    new_m: dict[str, Any] = {}
+    for key, val in m.items():
+        matched = False
+        for g in groups:
+            mm = re.fullmatch(rf"{g}_(\d+)", key)
+            if mm:
+                groups[g].append((int(mm.group(1)), val))
+                matched = True
+                break
+        if not matched:
+            new_m[key] = val
+    for g, items in groups.items():
+        if not items:
+            continue
+        items.sort()
+        trees = [t for _, t in items]
+        stacked = jax.tree.map(lambda *leaves: np.stack(leaves), *trees)
+        new_m[g] = {"scan": {"block": stacked}}
+    out = dict(params)
+    out["model"] = new_m
+    return out
+
+
+def unstack_scan_blocks(params: dict) -> dict:
+    """Inverse of stack_scan_blocks."""
+    new_m: dict[str, Any] = {}
+    for key, val in params["model"].items():
+        if key in ("blocks", "decoder_blocks") and isinstance(val, dict) \
+                and "scan" in val:
+            stacked = val["scan"]["block"]
+            depth = jax.tree.leaves(stacked)[0].shape[0]
+            for i in range(depth):
+                new_m[f"{key}_{i}"] = jax.tree.map(
+                    lambda x, i=i: np.asarray(x)[i], stacked
+                )
+        else:
+            new_m[key] = val
+    out = dict(params)
+    out["model"] = new_m
+    return out
 
 
 # ---------------------------------------------------------------------------
