@@ -106,6 +106,42 @@ def test_maskdit_converter_rejects_unknown():
         port.convert_maskdit({"model.blocks.0.attn.bogus.weight": np.zeros((4, 4))})
 
 
+def test_load_reference_pt_checkpoint(tiny_model_and_params, tmp_path):
+    """Full .pt import path: torch.save({'ema','model'}) -> converted tree."""
+    import torch
+
+    from maskdit_tpu.utils.ckpt import load_reference_checkpoint
+
+    model, params = tiny_model_and_params
+    state = _reference_style_state(jax.tree.map(np.asarray, params))
+    tstate = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state.items()}
+    path = str(tmp_path / "0001000.pt")
+    torch.save({"ema": tstate, "model": tstate, "args": {"note": "test"}}, path)
+
+    loaded = load_reference_checkpoint(path, use_ema=True)
+    ref = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(params)
+    }
+    got = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(loaded)
+    }
+    assert set(ref) == set(got)
+    for key in ref:
+        np.testing.assert_allclose(np.asarray(ref[key]), got[key], atol=1e-6)
+
+    # non-strict load drops unknown keys instead of failing
+    tstate2 = dict(tstate)
+    tstate2["model.some_new_thing.weight"] = torch.zeros(3, 3)
+    path2 = str(tmp_path / "0002000.pt")
+    torch.save({"ema": tstate2, "model": tstate2}, path2)
+    with pytest.raises(KeyError):
+        load_reference_checkpoint(path2, use_ema=True, strict=True)
+    loaded2 = load_reference_checkpoint(path2, use_ema=True, strict=False)
+    assert "some_new_thing" not in loaded2.get("model", {})
+
+
 def test_graft_params_nonstrict(tiny_model_and_params):
     """Partial checkpoints overlay; missing keys keep init values
     (reference --use_strict_load False, train.py:150-151)."""
