@@ -125,11 +125,14 @@ def prefetch(
     """Background-thread prefetch: shard + enqueue up to ``size`` batches."""
     q: queue.Queue = queue.Queue(maxsize=size)
     stop = object()
+    error: list[BaseException] = []
 
     def worker():
         try:
             for item in iterator:
                 q.put(shard_batch(item, sharding))
+        except BaseException as e:  # surface loader errors to the consumer
+            error.append(e)
         finally:
             q.put(stop)
 
@@ -138,5 +141,7 @@ def prefetch(
     while True:
         item = q.get()
         if item is stop:
+            if error:
+                raise error[0]
             return
         yield item

@@ -68,11 +68,11 @@ def make_sharded_train_step(
     batch enters sharded over the data-like axes; metrics leave replicated.
     """
     step = make_train_step(model, optimizer, **step_kwargs)
-    batch_shard = mesh_lib.batch_sharding(mesh)
-    replicated = NamedSharding(mesh, P())
+    # inputs arrive pre-sharded (state from create_sharded_state, batches
+    # from data.loader.prefetch), so only outputs are constrained — this
+    # also keeps the batch pytree structure flexible (optional 'feat').
     return jax.jit(
         step,
-        in_shardings=(shardings, {"x": batch_shard, "y": batch_shard}, replicated),
         out_shardings=(shardings, None),
         donate_argnums=(0,) if donate else (),
     )

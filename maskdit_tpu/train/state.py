@@ -140,16 +140,16 @@ def make_train_step(
     loss_fn = loss_fn or EDMLoss()
     patch_size = int(model.model_type.rsplit("/", 1)[1])
 
-    def microbatch_loss(params, x, y, rng):
-        def net_apply(xin, sigma, labels, m_ratio, feat, rngs):
+    def microbatch_loss(params, x, y, feat, rng):
+        def net_apply(xin, sigma, labels, m_ratio, f, rngs):
             return model.apply(
                 {"params": params}, xin, sigma, labels,
-                mask_ratio=m_ratio, feat=feat, train=True, rngs=rngs,
+                mask_ratio=m_ratio, feat=f, train=True, rngs=rngs,
             )
 
         loss_vec, aux = loss_fn(
             net_apply, x, rng, labels=y, mask_ratio=mask_ratio,
-            mae_loss_coef=mae_loss_coef, patch_size=patch_size,
+            mae_loss_coef=mae_loss_coef, patch_size=patch_size, feat=feat,
         )
         return loss_vec.mean(), aux
 
@@ -164,6 +164,7 @@ def make_train_step(
             x = reparameterize_moments(rng_z, x, scale_factor)
 
         y = batch.get("y")
+        feat = batch.get("feat")
         if y is not None and class_dropout_prob > 0:
             keep = (
                 jax.random.uniform(rng_drop, (y.shape[0], 1))
@@ -172,30 +173,37 @@ def make_train_step(
             y = y * keep
 
         if grad_accum == 1:
-            (loss, aux), grads = grad_fn(state.params, x, y, rng_loss)
+            (loss, aux), grads = grad_fn(state.params, x, y, feat, rng_loss)
         else:
             micro = x.shape[0] // grad_accum
-            xs = x.reshape(grad_accum, micro, *x.shape[1:])
-            ys = (
-                y.reshape(grad_accum, micro, *y.shape[1:])
-                if y is not None else None
-            )
+
+            def split(a):
+                return (
+                    a.reshape(grad_accum, micro, *a.shape[1:])
+                    if a is not None else None
+                )
+
+            xs, ys, feats = split(x), split(y), split(feat)
 
             def accum(carry, inputs):
                 g_sum, l_sum = carry
-                i, x_i, y_i = inputs
+                if feats is None:
+                    i, x_i, y_i = inputs
+                    f_i = None
+                else:
+                    i, x_i, y_i, f_i = inputs
                 (l, aux_i), g = grad_fn(
-                    state.params, x_i, y_i, jax.random.fold_in(rng_loss, i)
+                    state.params, x_i, y_i, f_i, jax.random.fold_in(rng_loss, i)
                 )
                 g_sum = jax.tree.map(jnp.add, g_sum, g)
                 return (g_sum, l_sum + l), aux_i
 
             g0 = jax.tree.map(jnp.zeros_like, state.params)
-            (grads, loss_sum), auxs = jax.lax.scan(
-                accum,
-                (g0, 0.0),
-                (jnp.arange(grad_accum), xs, ys),
+            scan_xs = (
+                (jnp.arange(grad_accum), xs, ys) if feats is None
+                else (jnp.arange(grad_accum), xs, ys, feats)
             )
+            (grads, loss_sum), auxs = jax.lax.scan(accum, (g0, 0.0), scan_xs)
             grads = jax.tree.map(lambda g: g / grad_accum, grads)
             loss = loss_sum / grad_accum
             aux = jax.tree.map(lambda a: a.mean(), auxs)

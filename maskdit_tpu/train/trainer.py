@@ -246,7 +246,8 @@ class Trainer:
                 progress = (step - self.start_step) / max(self.max_steps, 1)
                 ratio = float(self.mask_ratio_fn(progress))
                 step_fn = self._step_for_ratio(ratio)
-                batch.pop("feat", None)
+                if self.config.model.get("ext_feature_dim", 0) == 0:
+                    batch.pop("feat", None)
                 self.state, metrics = step_fn(self.state, batch, rng)
                 step += 1
                 running.append(metrics)

@@ -172,3 +172,47 @@ def test_train_step_runs_and_learns():
         )
     )
     assert dev < 1e-2
+
+
+def test_train_step_with_ext_features():
+    """ext_feature_dim > 0: batch['feat'] conditions the model
+    (reference: train feature path, datasets.py:286-295 + maskdit feat_embedder)."""
+    from maskdit_tpu.models import create_model
+    from maskdit_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = create_model(
+        "edm", img_resolution=8, img_channels=4, num_classes=4,
+        model_type="DiT-S/2", use_decoder=True, mae_loss_coef=0.1,
+        ext_feature_dim=16, dtype=jnp.float32, use_flash=False,
+    )
+    opt = make_optimizer(1e-3, global_batch_size=4)
+    # init needs a feat arg present
+    x0 = jnp.zeros((1, 4, 8, 8))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        x0, jnp.ones((1,)), jnp.zeros((1, 4)), mask_ratio=0.5,
+        feat=jnp.zeros((1, 16)), train=True,
+    )
+    from maskdit_tpu.train.state import TrainState
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        ema_params=variables["params"], opt_state=opt.init(variables["params"]),
+    )
+    step = jax.jit(make_train_step(model, opt, mask_ratio=0.5,
+                                   mae_loss_coef=0.1, grad_accum=2))
+    batch = {
+        "x": jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 8)),
+        "y": jax.nn.one_hot(jnp.arange(4) % 4, 4),
+        "feat": jax.random.normal(jax.random.PRNGKey(2), (4, 16)),
+    }
+    state, m = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m["loss"]))
+    # different features change the loss (conditioning is live)
+    batch2 = dict(batch, feat=batch["feat"] * 100.0)
+    _, m2 = step(state, batch2, jax.random.PRNGKey(3))
+    assert float(m["loss"]) != float(m2["loss"])
