@@ -43,6 +43,7 @@ class DataLoader:
         num_workers: int = 2,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
+        resample: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -50,6 +51,8 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
+        self.resample = resample  # iid with replacement (reference
+        # train_wds.py --resample / resampled shards)
         self.rank = (
             process_index if process_index is not None else jax.process_index()
         )
@@ -58,9 +61,15 @@ class DataLoader:
         )
 
     def epoch_indices(self, epoch: int) -> np.ndarray:
-        idx = np.arange(len(self.dataset))
-        if self.shuffle:
-            np.random.RandomState((self.seed + epoch) % (1 << 31)).shuffle(idx)
+        n = len(self.dataset)
+        rng = np.random.RandomState((self.seed + epoch) % (1 << 31))
+        if self.resample:
+            # iid with replacement; disjoint per rank by striding the draw
+            idx = rng.randint(0, n, size=n)
+        else:
+            idx = np.arange(n)
+            if self.shuffle:
+                rng.shuffle(idx)
         # rank-strided split (reference: sample.py:235, train_wds.py:35-42)
         return idx[self.rank :: self.world]
 

@@ -18,7 +18,7 @@ Layout rules (see models/layers.py docstring):
 from __future__ import annotations
 
 import re
-from typing import Any, Mapping
+from typing import Any, Mapping, Optional
 
 import jax
 import numpy as np
@@ -148,6 +148,56 @@ def convert_maskdit(state: Mapping[str, np.ndarray]) -> dict:
         if not allowed:
             raise KeyError(f"unhandled non-model keys: {skipped}")
     return params
+
+
+def export_maskdit(params: Mapping, pos_embeds: Optional[Mapping] = None) -> dict:
+    """Our EDMPrecond param tree -> reference torch state-dict naming.
+
+    Inverse of convert_maskdit; lets checkpoints trained here be consumed
+    by the reference PyTorch code (weights as numpy arrays; pass through
+    torch.from_numpy before torch.save). pos_embeds, if given, supplies
+    the {'pos_embed', 'decoder_pos_embed'} buffers the torch model expects
+    in its state dict (values are deterministic sin-cos tables).
+    """
+    state: dict[str, np.ndarray] = {}
+    m = params["model"]
+
+    def lin(key: str, node: Mapping) -> None:
+        state[key + ".weight"] = np.asarray(node["kernel"]).T
+        if "bias" in node:
+            state[key + ".bias"] = np.asarray(node["bias"])
+
+    state["model.x_embedder.proj.weight"] = np.asarray(
+        m["x_embedder"]["kernel"]
+    ).transpose(3, 2, 0, 1)
+    state["model.x_embedder.proj.bias"] = np.asarray(m["x_embedder"]["bias"])
+    lin("model.t_embedder.mlp.0", m["t_embedder"]["fc1"])
+    lin("model.t_embedder.mlp.2", m["t_embedder"]["fc2"])
+    if "y_embedder" in m:
+        state["model.y_embedder.embedding_table.weight"] = np.asarray(
+            m["y_embedder"]["embedding_table"]["kernel"]
+        ).T
+    for group in ("blocks", "decoder_blocks"):
+        i = 0
+        while f"{group}_{i}" in m:
+            b = m[f"{group}_{i}"]
+            lin(f"model.{group}.{i}.attn.qkv", b["attn"]["qkv"])
+            lin(f"model.{group}.{i}.attn.proj", b["attn"]["proj"])
+            lin(f"model.{group}.{i}.mlp.fc1", b["mlp"]["fc1"])
+            lin(f"model.{group}.{i}.mlp.fc2", b["mlp"]["fc2"])
+            lin(f"model.{group}.{i}.adaLN_modulation.1", b["adaLN_modulation"])
+            i += 1
+    for layer in ("decoder_layer", "final_layer"):
+        if layer in m:
+            lin(f"model.{layer}.adaLN_modulation.1", m[layer]["adaLN_modulation"])
+            lin(f"model.{layer}.linear", m[layer]["linear"])
+    for tok in ("mask_token", "cls_token"):
+        if tok in m:
+            state[f"model.{tok}"] = np.asarray(m[tok])
+    if pos_embeds:
+        for k, v in pos_embeds.items():
+            state[f"model.{k}"] = np.asarray(v)
+    return state
 
 
 def stack_scan_blocks(params: dict) -> dict:

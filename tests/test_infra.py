@@ -122,3 +122,14 @@ def test_sharded_train_step_multichip():
     import __graft_entry__ as entrymod
 
     entrymod.dryrun_multichip(8)
+
+
+def test_loader_resample_mode():
+    ds = SyntheticLatentDataset(length=32, resolution=4, num_channels=2, label_dim=4)
+    dl = DataLoader(ds, 4, seed=1, resample=True,
+                    process_index=0, process_count=2, num_workers=1)
+    idx0 = dl.epoch_indices(0)
+    assert len(idx0) == 16  # half of n per rank
+    # with replacement: very likely has duplicates over epochs, and differs
+    assert not np.array_equal(idx0, dl.epoch_indices(1))
+    assert idx0.max() < 32 and idx0.min() >= 0

@@ -11,41 +11,8 @@ from maskdit_tpu.utils.ckpt import graft_params
 
 
 def _reference_style_state(params: dict) -> dict:
-    """Invert our EDMPrecond param tree into reference torch key naming."""
-    state = {}
-    m = params["model"]
-
-    def lin(key, node):
-        state[key + ".weight"] = np.asarray(node["kernel"]).T
-        if "bias" in node:
-            state[key + ".bias"] = np.asarray(node["bias"])
-
-    state["model.x_embedder.proj.weight"] = np.asarray(
-        m["x_embedder"]["kernel"]
-    ).transpose(3, 2, 0, 1)
-    state["model.x_embedder.proj.bias"] = np.asarray(m["x_embedder"]["bias"])
-    lin("model.t_embedder.mlp.0", m["t_embedder"]["fc1"])
-    lin("model.t_embedder.mlp.2", m["t_embedder"]["fc2"])
-    state["model.y_embedder.embedding_table.weight"] = np.asarray(
-        m["y_embedder"]["embedding_table"]["kernel"]
-    ).T
-    for group in ("blocks", "decoder_blocks"):
-        i = 0
-        while f"{group}_{i}" in m:
-            b = m[f"{group}_{i}"]
-            lin(f"model.{group}.{i}.attn.qkv", b["attn"]["qkv"])
-            lin(f"model.{group}.{i}.attn.proj", b["attn"]["proj"])
-            lin(f"model.{group}.{i}.mlp.fc1", b["mlp"]["fc1"])
-            lin(f"model.{group}.{i}.mlp.fc2", b["mlp"]["fc2"])
-            lin(f"model.{group}.{i}.adaLN_modulation.1", b["adaLN_modulation"])
-            i += 1
-    lin("model.decoder_layer.adaLN_modulation.1", m["decoder_layer"]["adaLN_modulation"])
-    lin("model.decoder_layer.linear", m["decoder_layer"]["linear"])
-    lin("model.final_layer.adaLN_modulation.1", m["final_layer"]["adaLN_modulation"])
-    lin("model.final_layer.linear", m["final_layer"]["linear"])
-    if "mask_token" in m:
-        state["model.mask_token"] = np.asarray(m["mask_token"])
-    return state
+    """Reference torch key naming via the production export converter."""
+    return port.export_maskdit(params)
 
 
 @pytest.fixture(scope="module")
