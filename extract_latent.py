@@ -37,23 +37,16 @@ from maskdit_tpu.utils.port import convert_vae, load_torch_state_dict
 def iter_image_folder(root: str, resolution: int):
     """Yield (image[-1,1] CHW float32, class_index) in deterministic order.
 
-    Classes are sorted subdirectory names (torchvision ImageFolder rule).
+    Reads through the raw-image LMDB cache (reference:
+    imagenet_lmdb_dataset, datasets.py:55-88) built on first use.
     """
-    classes = sorted(
-        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
-    )
-    class_to_idx = {c: i for i, c in enumerate(classes)}
-    for cls in classes:
-        cdir = os.path.join(root, cls)
-        for fname in sorted(os.listdir(cdir)):
-            if os.path.splitext(fname)[1].lower() not in (
-                ".png", ".jpg", ".jpeg", ".webp", ".bmp"
-            ):
-                continue
-            img = Image.open(os.path.join(cdir, fname)).convert("RGB")
-            arr = np.asarray(center_crop_arr(img, resolution), dtype=np.float32)
-            arr = arr / 127.5 - 1.0
-            yield arr.transpose(2, 0, 1), class_to_idx[cls]
+    from maskdit_tpu.data.datasets import imagenet_lmdb_dataset
+
+    ds = imagenet_lmdb_dataset(root, resolution=resolution)
+    for i in range(len(ds)):
+        img, onehot = ds[i]
+        arr = img.astype(np.float32) / 127.5 - 1.0
+        yield arr, int(np.argmax(onehot))
 
 
 def main() -> None:

@@ -270,6 +270,86 @@ class ImageFolderDataset(Dataset):
             self._zipfile = None
 
 
+class ImageLMDB(Dataset):
+    """Raw-image LMDB reader (reference: ImageLMDB, datasets.py:95-129).
+
+    Keys are relative file paths, values the original encoded image bytes;
+    used as a fast ImageFolder cache for latent extraction. Returns
+    center-cropped RGB uint8 HWC arrays + integer labels.
+    """
+
+    def __init__(self, root: str, samples: list, class_to_idx: dict,
+                 resolution: int = 256, **super_kwargs):
+        from maskdit_tpu.data.native_io import open_reader
+
+        self._db = open_reader(root)
+        self._samples = samples  # [(path, class_idx), ...]
+        self.class_to_idx = class_to_idx
+        self._res = resolution
+        super().__init__(
+            name=os.path.basename(root),
+            raw_shape=[len(samples), 3, resolution, resolution],
+            label_dim=len(class_to_idx),
+            **super_kwargs,
+        )
+
+    def _load_raw_data(self, idx: int):
+        path, target = self._samples[idx]
+        data = self._db.get(path.encode("ascii"))
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+        arr = np.asarray(center_crop_arr(img, self._res))
+        return arr.transpose(2, 0, 1), int(target)
+
+    def close(self) -> None:
+        self._db.close()
+
+
+def imagenet_lmdb_dataset(root: str, resolution: int = 256, **kwargs) -> ImageLMDB:
+    """Build (or reuse) a raw-image LMDB cache for an ImageFolder tree.
+
+    Reference: imagenet_lmdb_dataset (datasets.py:55-88) — caches every
+    image file's bytes into ``<root>_faster_imagefolder.lmdb`` keyed by
+    relative path, plus a JSON manifest instead of the reference's
+    pickled torchvision ImageFolder.
+    """
+    root = root.rstrip("/")
+    lmdb_path = root + "_faster_imagefolder.lmdb"
+    manifest_path = root + "_faster_imagefolder.json"
+
+    if os.path.isdir(lmdb_path) and os.path.isfile(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+    else:
+        classes = sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+        class_to_idx = {c: i for i, c in enumerate(classes)}
+        samples = []
+        writer = lmdb_lite.Writer(lmdb_path)
+        exts = {".png", ".jpg", ".jpeg", ".webp", ".bmp"}
+        for cls in classes:
+            cdir = os.path.join(root, cls)
+            for fname in sorted(os.listdir(cdir)):
+                if os.path.splitext(fname)[1].lower() not in exts:
+                    continue
+                rel = os.path.join(cls, fname)
+                with open(os.path.join(cdir, fname), "rb") as f:
+                    writer.put(rel.encode("ascii"), f.read())
+                samples.append([rel, class_to_idx[cls]])
+        writer.commit()
+        manifest = {"samples": samples, "class_to_idx": class_to_idx}
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f)
+
+    return ImageLMDB(
+        lmdb_path,
+        [(p, t) for p, t in manifest["samples"]],
+        manifest["class_to_idx"],
+        resolution=resolution,
+        **kwargs,
+    )
+
+
 class SyntheticLatentDataset(Dataset):
     """Deterministic fake moments dataset for tests and benchmarking."""
 

@@ -297,6 +297,20 @@ class MaskDiT(nn.Module):
         x_feat = jnp.mean(x[:, self.extras:, :], axis=1)
         return layer_norm_no_affine(x_feat), mask_info
 
+    def forward_encoder(
+        self, x: jax.Array, t: jax.Array, y: Optional[jax.Array] = None,
+        mask_ratio: float = 0.0, mask_info: Optional[masking.MaskInfo] = None,
+        feat: Optional[jax.Array] = None, train: bool = True,
+    ) -> tuple[dict, jax.Array, Optional[masking.MaskInfo]]:
+        """Encoder tokens + conditioning (reference: maskdit.py:467-509).
+
+        Returns (out_enc dict with 'x', c, mask_info) like the reference.
+        """
+        x_tok, mask_info = self._embed_and_mask(x, mask_ratio, mask_info, train)
+        c = self._condition(t, y, feat)
+        x_tok = self._run_blocks(self.blocks, x_tok, c)
+        return {"x": x_tok}, c, mask_info
+
     def __call__(
         self, x: jax.Array, t: jax.Array, y: Optional[jax.Array] = None,
         mask_ratio: float = 0.0, mask_info: Optional[masking.MaskInfo] = None,
@@ -306,9 +320,11 @@ class MaskDiT(nn.Module):
         out: dict = {}
         if (not train) and self.use_encoder_feat and feat is None:
             feat, _ = self.encode(x, t, y)
-        x_tok, mask_info = self._embed_and_mask(x, mask_ratio, mask_info, train)
-        c = self._condition(t, y, feat)
-        x_tok = self._run_blocks(self.blocks, x_tok, c)
+        enc_out, c, mask_info = self.forward_encoder(
+            x, t, y, mask_ratio=mask_ratio, mask_info=mask_info,
+            feat=feat, train=train,
+        )
+        x_tok = enc_out["x"]
 
         if mask_ratio > 0:
             out["mask"] = mask_info.mask

@@ -115,6 +115,16 @@ class Throughput:
         }
 
 
+def get_one_hot(labels, num_classes: int = 1000):
+    """Integer labels -> one-hot float32 (reference: helper.py:30-33)."""
+    import numpy as np
+
+    labels = np.asarray(labels)
+    onehot = np.zeros((labels.shape[0], num_classes), dtype=np.float32)
+    onehot[np.arange(labels.shape[0]), labels] = 1.0
+    return onehot
+
+
 def parse_int_list(s) -> list[int]:
     """'1,2,5-10' -> [1,2,5,...,10] (reference: utils.py:140-152)."""
     import re

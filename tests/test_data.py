@@ -164,3 +164,30 @@ def test_wds_roundtrip(tmp_path):
     assert len(streamed) == 25
     np.testing.assert_array_equal(streamed[3][1], records[3][1])
     assert streamed[3][2] == records[3][2]
+
+
+def test_image_lmdb_cache(tmp_path):
+    """imagenet_lmdb_dataset builds a byte cache and reads through it."""
+    from maskdit_tpu.data.datasets import imagenet_lmdb_dataset
+
+    root = tmp_path / "imgs"
+    rng = np.random.RandomState(0)
+    for cls in ("class_a", "class_b"):
+        (root / cls).mkdir(parents=True)
+        for i in range(3):
+            arr = rng.randint(0, 255, size=(40, 40, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(root / cls / f"{i}.png")
+
+    ds = imagenet_lmdb_dataset(str(root), resolution=32)
+    assert len(ds) == 6
+    img, y = ds[0]
+    assert img.shape == (3, 32, 32) and img.dtype == np.uint8
+    assert y.shape == (2,) and y[0] == 1  # class_a
+
+    # second open reuses the cache (no image files needed)
+    import shutil
+
+    shutil.rmtree(root)
+    ds2 = imagenet_lmdb_dataset(str(root), resolution=32)
+    img2, _ = ds2[0]
+    np.testing.assert_array_equal(img, img2)
