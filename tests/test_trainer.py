@@ -1,0 +1,103 @@
+"""Trainer-level integration on the virtual CPU mesh."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from maskdit_tpu.data.features import retrieve_n_features
+from maskdit_tpu.utils import config as config_lib
+
+SMOKE_CONFIG = """
+data:
+  dataset: synthetic
+  category: synthetic
+  resolution: 8
+  num_channels: 4
+  length: 64
+model:
+  precond: edm
+  model_type: DiT-S/2
+  in_size: 8
+  in_channels: 4
+  num_classes: 8
+  use_decoder: True
+  ext_feature_dim: 0
+  pad_cls_token: False
+  mask_ratio: 0.5
+  mask_ratio_fn: constant
+  mask_ratio_min: 0
+  mae_loss_coef: 0.1
+  class_dropout_prob: 0.1
+train:
+  fp32: True
+  batchsize: 1
+  grad_accum: 1
+  epochs: 1
+  lr: 0.0001
+  lr_rampup_kimg: 0
+  xflip: False
+  max_num_steps: 4
+eval:
+  batchsize: 4
+  ref_path: None
+log:
+  log_every: 2
+  ckpt_every: 4
+  tag: unittest
+wandb: {entity: none, project: none, group: none}
+"""
+
+
+@pytest.mark.slow
+def test_trainer_end_to_end(tmp_path):
+    from maskdit_tpu.train.trainer import Trainer
+
+    cfg = config_lib.loads(SMOKE_CONFIG)
+    eval_calls = []
+
+    trainer = Trainer(
+        cfg, results_dir=str(tmp_path), seed=0, num_workers=1,
+        eval_hook=lambda step, ema: eval_calls.append(step) or {"fid": 1.0},
+    )
+    final = trainer.train()
+    assert final == 4
+    assert eval_calls == [4]
+    # checkpoint exists and resume picks it up
+    steps = trainer.ckpt_mgr.all_steps()
+    assert 4 in steps
+
+    trainer2 = Trainer(cfg, results_dir=str(tmp_path), seed=0, num_workers=1)
+    assert trainer2.start_step == 4
+    final2 = trainer2.train()
+    assert final2 == 8
+
+
+def test_retrieve_n_features(tmp_path):
+    from maskdit_tpu.data.lmdb_lite import Writer
+
+    root = tmp_path / "feats" / "train"
+    rng = np.random.RandomState(0)
+    n, dim, k = 20, 8, 5
+    with Writer(str(root)) as w:
+        for i in range(n):
+            w.put(f"feat-{i}", rng.randn(dim).astype(np.float32).tobytes())
+            w.put(f"y-{i}", str(i % k))
+        w.put("length", str(2 * n))  # reference stores length = 2x pool
+
+    feats, labels = retrieve_n_features(
+        4, str(tmp_path / "feats"), dim, k, sample_mode="rand_full", seed=0
+    )
+    assert feats.shape == (4, dim) and labels.shape == (4, k)
+    assert (labels.sum(axis=1) == 1).all()
+
+    feats_r, _ = retrieve_n_features(
+        4, str(tmp_path / "feats"), dim, k, sample_mode="rand_repeat", seed=0
+    )
+    assert (feats_r == feats_r[0]).all()
+
+    feats_y, labels_y = retrieve_n_features(
+        4, str(tmp_path / "feats"), dim, k, sample_mode="rand_y", seed=1
+    )
+    assert (feats_y == feats_y[0]).all()
