@@ -58,7 +58,7 @@ def build(batch: int):
     step = jax.jit(
         make_train_step(
             model, opt, mask_ratio=0.5, mae_loss_coef=0.1,
-            class_dropout_prob=0.1,
+            class_dropout_prob=0.1, log_grad_norm=False,
         ),
         donate_argnums=(0,),
     )

@@ -41,6 +41,13 @@ def make_eval_hook(cfg, args):
 
     seeds = parse_int_list(args.eval_seeds)
     cfg_scale = parse_float_none(args.cfg_scale)
+    if cfg_scale is None:
+        # finetune configs carry eval.cfg_scales (reference:
+        # configs/finetune/*.yaml); use the first entry when the CLI
+        # didn't specify one
+        scales = cfg.eval.get("cfg_scales")
+        if scales:
+            cfg_scale = float(scales[0])
 
     eval_model = create_model(
         cfg.model.precond,
