@@ -93,9 +93,16 @@ def load_reference_checkpoint(
     state = port.load_torch_state_dict(path, key=key)
     try:
         return port.convert_maskdit(state)
-    except KeyError:
+    except KeyError as e:
         if strict:
-            raise
+            has_decoder = any(k.startswith("model.decoder_") for k in state)
+            raise KeyError(
+                f"{e} while importing {path}. If the model-flag mismatch is "
+                f"the cause: this checkpoint {'DOES' if has_decoder else 'does NOT'} "
+                "contain decoder weights (match --use_decoder / "
+                "--mae_loss_coef), or pass strict=False / "
+                "--use_strict_load False to drop unknown keys."
+            ) from e
         # drop unknown keys and retry
         known = {}
         for k, v in state.items():

@@ -196,3 +196,20 @@ def test_pad_cls_token_path():
     )
     assert out["x"].shape == (2, 4, 8, 8)
     assert out["mask"].shape == (2, 16)
+
+
+@pytest.mark.parametrize("name", ["DiT-B/4", "DiT-L/8", "DiT-H/8"])
+def test_registry_variants_forward(name):
+    """Every registry family builds and runs (patch sizes 4/8 shrink L)."""
+    model = create_dit(
+        name, input_size=16, in_channels=4, num_classes=5,
+        use_decoder=True, mae_loss_coef=0.1, dtype=jnp.float32,
+        use_flash=False, depth=2,  # truncate depth: wiring test, not scale
+    )
+    x = jnp.zeros((1, 4, 16, 16))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        x, jnp.ones((1,)), jnp.zeros((1, 5)),
+    )
+    out = model.apply(variables, x, jnp.ones((1,)), jnp.zeros((1, 5)))
+    assert out["x"].shape == (1, 4, 16, 16)
