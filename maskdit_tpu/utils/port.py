@@ -324,6 +324,56 @@ def convert_vae(state: Mapping[str, np.ndarray]) -> dict:
     return params
 
 
+def export_vae(params: Mapping) -> dict[str, np.ndarray]:
+    """Our AutoencoderKL param tree -> reference torch state-dict naming.
+
+    Inverse of convert_vae (autoencoder_kl.pth layout). Mainly used to
+    fabricate format-correct VAE checkpoints for pipeline tests and to
+    round-trip-validate the import mapping.
+    """
+    state: dict[str, np.ndarray] = {}
+
+    def walk(node: Mapping, flax_path: list[str]) -> None:
+        for k, v in node.items():
+            if isinstance(v, Mapping) and "kernel" in v:  # a Conv wrapper leaf
+                torch_key = _flax_vae_path_to_torch(flax_path + [k])
+                state[torch_key + ".weight"] = np.asarray(
+                    v["kernel"]
+                ).transpose(3, 2, 0, 1)
+                state[torch_key + ".bias"] = np.asarray(v["bias"])
+            elif isinstance(v, Mapping) and "scale" in v:  # GroupNorm leaf
+                torch_key = _flax_vae_path_to_torch(flax_path + [k])
+                state[torch_key + ".weight"] = np.asarray(v["scale"])
+                state[torch_key + ".bias"] = np.asarray(v["bias"])
+            elif isinstance(v, Mapping):
+                walk(v, flax_path + [k])
+
+    walk(params, [])
+    return state
+
+
+def _flax_vae_path_to_torch(path: list[str]) -> str:
+    """encoder/down_0_block_1/conv1/conv -> encoder.down.0.block.1.conv1"""
+    parts: list[str] = []
+    for p in path:
+        if p == "conv" and parts:  # inner nn.Conv of our Conv wrapper
+            continue
+        m = re.fullmatch(r"(down|up)_(\d+)_(block)_(\d+)", p)
+        if m:
+            parts += [m.group(1), m.group(2), m.group(3), m.group(4)]
+            continue
+        m = re.fullmatch(r"(down|up)_(\d+)_(downsample|upsample)", p)
+        if m:
+            parts += [m.group(1), m.group(2), m.group(3), "conv"]
+            continue
+        m = re.fullmatch(r"mid_(block_1|block_2|attn_1)", p)
+        if m:
+            parts += ["mid", m.group(1)]
+            continue
+        parts.append(p)
+    return ".".join(parts)
+
+
 def _convert_resblock(params, pairs, src: str, dest: list[str], conv, norm) -> None:
     for part in ("norm1", "conv1", "norm2", "conv2"):
         w = pairs.pop(f"{src}.{part}.weight")

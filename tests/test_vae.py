@@ -201,3 +201,33 @@ def test_vae_sample_moments_reparam(shared):
         {"params": jparams}, jax.random.PRNGKey(0), moments, method="sample_z"
     )
     np.testing.assert_allclose(np.asarray(z), 0.18215, atol=1e-3)
+
+
+def test_export_vae_roundtrip():
+    """export_vae(convert_vae(sd)) == sd for a full-config VAE tree."""
+    import jax
+
+    model = jvae.AutoencoderKL()
+    shapes = jax.eval_shape(
+        lambda r: model.init(r, jnp.zeros((1, 3, 32, 32)), jax.random.PRNGKey(1)),
+        jax.random.PRNGKey(0),
+    )["params"]
+    params = jax.tree.map(
+        lambda s: np.random.default_rng(s.shape[-1]).normal(
+            size=s.shape
+        ).astype(np.float32),
+        shapes,
+    )
+    state = port.export_vae(params)
+    recovered = port.convert_vae(state)
+    flat_a = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(params)
+    }
+    flat_b = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(recovered)
+    }
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_allclose(flat_a[k], flat_b[k], err_msg=k)
