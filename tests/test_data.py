@@ -191,3 +191,19 @@ def test_image_lmdb_cache(tmp_path):
     ds2 = imagenet_lmdb_dataset(str(root), resolution=32)
     img2, _ = ds2[0]
     np.testing.assert_array_equal(img, img2)
+
+
+def test_lmdb_empty_and_single(tmp_path):
+    with lmdb_lite.Writer(str(tmp_path / "empty")) as w:
+        pass
+    r = lmdb_lite.Reader(str(tmp_path / "empty"))
+    assert len(r) == 0 and r.get(b"x") is None
+    assert list(r.items()) == []
+    r.close()
+
+    big = np.random.RandomState(0).bytes(50000)  # 13-page overflow chain
+    with lmdb_lite.Writer(str(tmp_path / "one")) as w:
+        w.put(b"k", big)
+    r = lmdb_lite.Reader(str(tmp_path / "one"))
+    assert r.get(b"k") == big
+    r.close()

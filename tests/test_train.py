@@ -216,3 +216,30 @@ def test_train_step_with_ext_features():
     batch2 = dict(batch, feat=batch["feat"] * 100.0)
     _, m2 = step(state, batch2, jax.random.PRNGKey(3))
     assert float(m["loss"]) != float(m2["loss"])
+
+
+def test_train_step_finetune_mode():
+    """mask_ratio=0 (unmasked finetune, reference configs/finetune/*): the
+    full step runs with the plain mean-flat loss and no mask RNG use."""
+    from maskdit_tpu.models import create_model
+    from maskdit_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = create_model(
+        "edm", img_resolution=8, img_channels=4, num_classes=4,
+        model_type="DiT-S/2", use_decoder=True, mae_loss_coef=0.1,
+        dtype=jnp.float32, use_flash=False,
+    )
+    opt = make_optimizer(5e-5, global_batch_size=4)
+    state = create_train_state(model, jax.random.PRNGKey(0), opt, batch_size=2)
+    step = jax.jit(make_train_step(model, opt, mask_ratio=0.0, mae_loss_coef=0.1))
+    batch = {
+        "x": jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 8)),
+        "y": jax.nn.one_hot(jnp.arange(4) % 4, 4),
+    }
+    state, m = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
+    assert "mae_loss" not in m  # no MAE term without masking
