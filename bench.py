@@ -114,7 +114,50 @@ def run(batch: int, warmup: int = 2, iters: int = 10) -> float:
     return imgs_per_sec
 
 
+def run_sampling(batch: int = 50, num_steps: int = 40) -> float:
+    """Secondary benchmark (--mode sample): EDM sampling throughput."""
+    from maskdit_tpu.models import create_model
+    from maskdit_tpu.sampling.generate import SamplerConfig, make_sample_fn
+
+    model = create_model(
+        "edm", img_resolution=32, img_channels=4, num_classes=1000,
+        model_type="DiT-XL/2", use_decoder=True, mae_loss_coef=0.1,
+        dtype=jnp.bfloat16,
+    )
+    variables = jax.jit(
+        lambda r: model.init(
+            {"params": r}, jnp.zeros((1, 4, 32, 32)), jnp.ones((1,)),
+            jnp.zeros((1, 1000)),
+        )
+    )(jax.random.PRNGKey(0))
+    fn = make_sample_fn(
+        model, variables["params"],
+        SamplerConfig(num_steps=num_steps, cfg_scale=1.5),
+    )
+    latents = jax.random.normal(jax.random.PRNGKey(1), (batch, 4, 32, 32))
+    labels = jax.nn.one_hot(jnp.arange(batch) % 1000, 1000)
+    rng = jax.random.PRNGKey(2)
+    z = fn(latents, labels, rng)
+    float(jnp.sum(z.astype(jnp.float32)))  # honest sync
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        z = fn(latents, labels, rng)
+    float(jnp.sum(z.astype(jnp.float32)))
+    dt = (time.perf_counter() - t0) / iters
+    log(f"sampling batch={batch}, {num_steps} steps: {dt*1e3:.0f} ms/batch")
+    return batch / dt
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--mode" and sys.argv[2] == "sample":
+        rate = run_sampling()
+        print(json.dumps({
+            "metric": "maskdit_xl2_cfg40_sampling_images_per_sec",
+            "value": round(rate, 3), "unit": "images/sec/chip",
+            "vs_baseline": 0.0,  # the reference publishes no sampling rate
+        }))
+        return
     imgs_per_sec = None
     # bs48 measured fastest on v5e: bs64 leaves too little HBM headroom and
     # XLA compensates with spills (240.6 imgs/s) vs bs48's 244.8
