@@ -107,15 +107,38 @@ def create_train_state(
     )
 
 
-def _apply_updates_fused(optimizer, params, grads, opt_state, ema, ema_decay):
+def _apply_updates_fused(optimizer, params, grads, opt_state, ema, ema_decay,
+                         step, ema_every: int = 1):
     """Optimizer + EMA update. Staged via optax; inside the jitted step XLA
     fuses the whole chain into one elementwise pass per leaf, so the update
-    runs at the HBM-bandwidth floor (~30 ms for 675M fp32 params on v5e)."""
+    runs at the HBM-bandwidth floor (~30 ms for 675M fp32 params on v5e).
+
+    ema_every > 1 amortizes the EMA traffic (measured 15-28 ms/step for
+    675M fp32 params): the EMA pass runs every k-th step with decay^k,
+    i.e. the same exponential horizon sampled at k-step intervals. k=1 is
+    the reference's exact per-step EMA (helper.py:48-58); at decay 0.9999
+    (horizon ~10K steps) k<=8 is numerically indistinguishable for
+    evaluation purposes but is still an approximation - off by default.
+    """
     updates, new_opt_state = optimizer.update(grads, opt_state, params)
     new_params = optax.apply_updates(params, updates)
-    new_ema = optax.incremental_update(
-        new_params, ema, step_size=1.0 - ema_decay
-    )
+    if ema_every <= 1:
+        new_ema = optax.incremental_update(
+            new_params, ema, step_size=1.0 - ema_decay
+        )
+    else:
+        step_size = 1.0 - ema_decay ** ema_every
+
+        def do_update(operands):
+            p, e = operands
+            return optax.incremental_update(p, e, step_size=step_size)
+
+        new_ema = jax.lax.cond(
+            (step + 1) % ema_every == 0,
+            do_update,
+            lambda operands: operands[1],
+            (new_params, ema),
+        )
     return new_params, new_opt_state, new_ema
 
 
@@ -131,6 +154,7 @@ def make_train_step(
     scale_factor: float = 0.18215,
     reparam_moments: bool = True,
     log_grad_norm: bool = True,  # costs one extra pass over the gradients
+    ema_every: int = 1,  # >1 amortizes EMA traffic with decay^k (approx.)
 ) -> Callable[[TrainState, dict, jax.Array], tuple[TrainState, dict]]:
     """Build the jittable train step.
 
@@ -210,7 +234,7 @@ def make_train_step(
 
         new_params, new_opt_state, new_ema = _apply_updates_fused(
             optimizer, state.params, grads, state.opt_state,
-            state.ema_params, ema_decay,
+            state.ema_params, ema_decay, state.step, ema_every=ema_every,
         )
 
         metrics = {"loss": loss, **aux}

@@ -243,3 +243,40 @@ def test_train_step_finetune_mode():
     state, m = step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(m["loss"]))
     assert "mae_loss" not in m  # no MAE term without masking
+
+
+def test_ema_every_amortization():
+    """ema_every=k: EMA only moves on every k-th step, with decay^k."""
+    from maskdit_tpu.models import create_model
+    from maskdit_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = create_model(
+        "edm", img_resolution=8, img_channels=4, num_classes=4,
+        model_type="DiT-S/2", use_decoder=True, mae_loss_coef=0.1,
+        dtype=jnp.float32, use_flash=False,
+    )
+    opt = make_optimizer(1e-2, global_batch_size=2)
+    state = create_train_state(model, jax.random.PRNGKey(0), opt, batch_size=2)
+    step = jax.jit(make_train_step(model, opt, mask_ratio=0.0, ema_every=2,
+                                   ema_decay=0.5))
+    batch = {
+        "x": jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 8)),
+        "y": jax.nn.one_hot(jnp.arange(2) % 4, 4),
+    }
+    ema0 = jax.tree.leaves(state.ema_params)
+    state, _ = step(state, batch, jax.random.PRNGKey(2))  # step 1: no EMA move
+    same = all(
+        np.array_equal(a, b)
+        for a, b in zip(ema0, jax.tree.leaves(state.ema_params))
+    )
+    assert same
+    state, _ = step(state, batch, jax.random.PRNGKey(2))  # step 2: EMA moves
+    moved = any(
+        not np.array_equal(a, b)
+        for a, b in zip(ema0, jax.tree.leaves(state.ema_params))
+    )
+    assert moved
