@@ -27,11 +27,20 @@ def init_distributed(
     On TPU pods the environment auto-configures; args are for manual setups
     (the analogue of the reference's MASTER_ADDR/PORT env init,
     utils.py:86-91). Safe to call when single-process.
+
+    Ordering matters: ``jax.distributed.initialize`` must run before ANY
+    call that instantiates the backend (including innocuous-looking ones
+    like ``jax.process_count()``), so this function decides purely from its
+    arguments and the distributed client state — it never touches a
+    backend-creating jax API before initialize().
     """
-    if jax.process_count() > 1:
-        return  # already initialized
     if coordinator_address is None and num_processes in (None, 1):
         return  # single-process run: nothing to do
+    # Already bootstrapped (e.g. called twice, or auto-init on a pod)?
+    # is_initialized() reads plain client state — it does not create a
+    # backend, unlike jax.process_count().
+    if jax.distributed.is_initialized():
+        return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

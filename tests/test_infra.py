@@ -133,3 +133,63 @@ def test_loader_resample_mode():
     # with replacement: very likely has duplicates over epochs, and differs
     assert not np.array_equal(idx0, dl.epoch_indices(1))
     assert idx0.max() < 32 and idx0.min() >= 0
+
+
+# ---------------------------------------------------------------------------
+# distributed bootstrap ordering (VERDICT r1 weak #1)
+# ---------------------------------------------------------------------------
+
+def test_init_distributed_before_backend_use():
+    """init_distributed must reach jax.distributed.initialize() BEFORE any
+    backend-instantiating jax call (jax.process_count() etc.), otherwise the
+    runtime is locked single-process and multi-host bootstrap is dead code.
+
+    Runs in a fresh subprocess (this process's backend is already up) with a
+    stubbed initialize() that records whether any XLA backend existed when it
+    was called.
+    """
+    import subprocess
+    import sys as _sys
+
+    script = r"""
+import sys
+import jax
+
+calls = {}
+
+def fake_initialize(coordinator_address=None, num_processes=None,
+                    process_id=None, **kw):
+    import jax._src.xla_bridge as xb
+    calls["backends_at_init"] = dict(xb._backends)
+    calls["args"] = (coordinator_address, num_processes, process_id)
+
+jax.distributed.initialize = fake_initialize
+
+from maskdit_tpu.parallel import init_distributed
+
+# single-process args: must be a no-op and must NOT touch the backend
+init_distributed(None, None, None)
+import jax._src.xla_bridge as xb
+assert not xb._backends, "single-process path instantiated a backend"
+assert "args" not in calls, "initialize called for single-process run"
+
+# multi-host args: initialize() must be attempted, and at call time no
+# backend may exist yet.
+init_distributed("127.0.0.1:29400", 2, 0)
+assert calls.get("args") == ("127.0.0.1:29400", 2, 0), calls
+assert calls["backends_at_init"] == {}, (
+    "backend was instantiated before jax.distributed.initialize: %r"
+    % calls["backends_at_init"])
+print("OK")
+"""
+    import os
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [_sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "OK" in proc.stdout
