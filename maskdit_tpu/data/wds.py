@@ -46,7 +46,7 @@ class WebDatasetLatents(Dataset):
         resolution: int = 64,
         num_channels: int = 8,
         label_dim: int = 1000,
-        **super_kwargs,
+        **view_kwargs,
     ):
         self._shards = sorted(
             os.path.join(root, f) for f in os.listdir(root) if f.endswith(".tar")
@@ -62,11 +62,12 @@ class WebDatasetLatents(Dataset):
                 if "latent" in e and "cls" in e:
                     self._index.append((si, *e["latent"], *e["cls"]))
         self._handles: dict[int, io.BufferedReader] = {}
-        super().__init__(
+        self._init_view(
             name=os.path.basename(root),
-            raw_shape=[len(self._index), num_channels, resolution, resolution],
+            num_records=len(self._index),
+            sample_shape=(num_channels, resolution, resolution),
             label_dim=label_dim,
-            **super_kwargs,
+            **view_kwargs,
         )
 
     def _read(self, shard_idx: int, offset: int, size: int) -> bytes:
@@ -77,8 +78,8 @@ class WebDatasetLatents(Dataset):
         f.seek(offset)
         return f.read(size)
 
-    def _load_raw_data(self, idx: int):
-        si, l_off, l_sz, c_off, c_sz = self._index[idx]
+    def fetch(self, record_id: int):
+        si, l_off, l_sz, c_off, c_sz = self._index[record_id]
         latent = pickle.loads(self._read(si, l_off, l_sz))
         label = int(self._read(si, c_off, c_sz).decode("utf-8"))
         return np.asarray(latent, dtype=np.float32), label
