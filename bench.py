@@ -45,12 +45,18 @@ def build(batch: int):
         make_train_step,
     )
 
+    remat = os.environ.get("MASKDIT_BENCH_REMAT", "none")
     model = create_model(
         "edm", img_resolution=32, img_channels=4, num_classes=1000,
         model_type="DiT-XL/2", use_decoder=True, mae_loss_coef=0.1,
         dtype=jnp.bfloat16,
+        remat=False if remat in ("none", "0") else remat,
     )
-    opt = make_optimizer(1e-4, global_batch_size=batch)
+    # single chip -> params replicated -> fused single-sweep Adam+EMA
+    # env knob: '0' = staged optax, '1'/'pallas' = kernel, 'jnp' = fused math
+    knob = os.environ.get("MASKDIT_BENCH_FUSED_ADAM", "jnp")
+    fused = {"0": False, "1": True}.get(knob, knob)
+    opt = make_optimizer(1e-4, global_batch_size=batch, fused=fused)
     state = jax.jit(
         lambda r: create_train_state(model, r, opt, batch_size=1),
         donate_argnums=(),
@@ -145,13 +151,27 @@ def run_sampling(batch: int = 50, num_steps: int = 40) -> float:
         z = fn(latents, labels, rng)
     float(jnp.sum(z.astype(jnp.float32)))
     dt = (time.perf_counter() - t0) / iters
-    log(f"sampling batch={batch}, {num_steps} steps: {dt*1e3:.0f} ms/batch")
+    log(f"sampling batch={batch}, {num_steps} steps: {dt*1e3:.0f} ms/batch "
+        f"-> {batch/dt:.2f} imgs/s")
     return batch / dt
+
+
+def run_sampling_sweep(num_steps: int = 40) -> float:
+    """Best sampling throughput over a batch ladder (reference caps at 50
+    per GPU, train.py:317; one v5e chip holds larger CFG double-batches)."""
+    best = 0.0
+    for batch in (50, 64, 96, 128):
+        try:
+            best = max(best, run_sampling(batch, num_steps))
+        except Exception as e:
+            log(f"sampling batch={batch} failed: {type(e).__name__}: {e}")
+            break
+    return best
 
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--mode" and sys.argv[2] == "sample":
-        rate = run_sampling()
+        rate = run_sampling_sweep()
         print(json.dumps({
             "metric": "maskdit_xl2_cfg40_sampling_images_per_sec",
             "value": round(rate, 3), "unit": "images/sec/chip",
@@ -161,7 +181,12 @@ def main() -> None:
     imgs_per_sec = None
     # bs48 measured fastest on v5e: bs64 leaves too little HBM headroom and
     # XLA compensates with spills (240.6 imgs/s) vs bs48's 244.8
-    for batch in (48, 64, 32, 16, 8):
+    ladder = tuple(
+        int(b) for b in os.environ.get(
+            "MASKDIT_BENCH_BATCHES", "48,64,32,16,8"
+        ).split(",")
+    )
+    for batch in ladder:
         try:
             imgs_per_sec = run(batch)
             break

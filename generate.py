@@ -7,6 +7,12 @@ Usage:
 Loads EMA weights from either a released reference ``.pt`` checkpoint
 (converted on the fly) or one of our orbax checkpoints, samples with the
 EDM/ablation sampler, decodes through the SD-VAE, and writes per-seed PNGs.
+
+Class-sample mode (reference generate.py:39-60): pass ``--config`` (model
+YAML), ``--label_dict assets/imagenet_label.json``, ``--class_idx N`` and
+``--results_dir``; samples land in ``<results_dir>/<class_name>/``. The
+reference reads ``config.model.self_cond`` there, a key no shipped config
+defines — we honor it when present and fall back to False.
 """
 
 from __future__ import annotations
@@ -73,7 +79,15 @@ def load_params(args, model):
 def main() -> None:
     parser = argparse.ArgumentParser("sampling parameters")
     parser.add_argument("--ckpt_path", type=str, required=True)
-    parser.add_argument("--outdir", type=str, required=True)
+    parser.add_argument("--outdir", type=str, default=None,
+                        help="output dir; or use --label_dict/--results_dir")
+    parser.add_argument("--config", type=str, default=None,
+                        help="model YAML; overrides the --model_type/... flags "
+                        "(reference generate.py builds the model from config)")
+    parser.add_argument("--label_dict", type=str, default=None,
+                        help="JSON {class_idx: [synset, class_name]}; with "
+                        "--class_idx, samples go to <results_dir>/<class_name>")
+    parser.add_argument("--results_dir", type=str, default="samples")
     parser.add_argument("--seeds", type=parse_int_list, default="0-63")
     parser.add_argument("--subdirs", action="store_true")
     parser.add_argument("--class_idx", type=int, default=None)
@@ -115,6 +129,37 @@ def main() -> None:
     parser.add_argument("--fp32", action="store_true",
                         help="run the denoiser in fp32 (parity mode)")
     args = parser.parse_args()
+
+    if args.config is not None:
+        # Model hyperparameters from YAML (reference generate.py:31-39).
+        from maskdit_tpu.utils import config as config_lib
+
+        m = config_lib.load(args.config).model
+        args.model_type = m.model_type
+        args.image_size = m.in_size
+        args.image_channels = m.in_channels
+        args.num_classes = m.num_classes
+        args.precond = m.precond
+        args.use_decoder = m.use_decoder
+        args.mae_loss_coef = m.get("mae_loss_coef", 0)
+        args.pad_cls_token = m.get("pad_cls_token", False)
+        args.ext_feature_dim = m.get("ext_feature_dim", 0)
+        # the reference reads m.self_cond unconditionally — a latent bug
+        # since no shipped config defines it; tolerate absence.
+        args.use_encoder_feat = m.get("self_cond", False)
+
+    if args.label_dict is not None:
+        from maskdit_tpu.sampling.generate import resolve_class_outdir
+
+        if args.class_idx is None:
+            parser.error("--label_dict requires --class_idx")
+        args.outdir, class_name = resolve_class_outdir(
+            args.label_dict, args.class_idx, args.results_dir
+        )
+        print(f"sampling class {args.class_idx} ({class_name}) "
+              f"into {args.outdir}")
+    elif args.outdir is None:
+        parser.error("one of --outdir or --label_dict is required")
 
     init_distributed()
     rank = jax.process_index()

@@ -90,8 +90,21 @@ def make_sample_fn(
     return bound
 
 
+def _is_oom_error(exc: BaseException) -> bool:
+    """True for device memory exhaustion; False for genuine bugs.
+
+    The reference retries only on ``torch.cuda.OutOfMemoryError``
+    (sample.py:273-279); the XLA analogue is a RESOURCE_EXHAUSTED
+    XlaRuntimeError. Anything else must propagate immediately so shape/
+    dtype bugs aren't retried five times with the real cause obscured.
+    """
+    msg = str(exc)
+    return ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+            or "out of memory" in msg)
+
+
 def decode_images(vae_apply: Callable, z: jax.Array, max_split: int = 4) -> np.ndarray:
-    """VAE decode with batch-halving retry (reference recur_decode)."""
+    """VAE decode with OOM batch-halving retry (reference recur_decode)."""
     for split in range(max_split + 1):
         parts = 2 ** split
         if z.shape[0] % parts:
@@ -102,10 +115,27 @@ def decode_images(vae_apply: Callable, z: jax.Array, max_split: int = 4) -> np.n
                 for part in np.split(np.asarray(z), parts)
             ]
             return np.concatenate(chunks)
-        except Exception:
-            if split == max_split:
+        except Exception as exc:
+            if split == max_split or not _is_oom_error(exc):
                 raise
     raise RuntimeError("unreachable")
+
+
+def resolve_class_outdir(
+    label_dict_path: str, class_idx: int, results_dir: str
+) -> tuple[str, str]:
+    """Map a class index to its class-named sample folder.
+
+    Reference generate.py:22-28: ``label_dict[str(class_idx)][1]`` is the
+    human-readable class name; samples land in ``<results_dir>/<name>``.
+    Returns (outdir, class_name).
+    """
+    import json
+
+    with open(label_dict_path) as f:
+        entry = json.load(f)[str(class_idx)]
+    class_name = entry[1] if isinstance(entry, (list, tuple)) else str(entry)
+    return os.path.join(results_dir, class_name), class_name
 
 
 def to_uint8(images: np.ndarray) -> np.ndarray:
@@ -160,6 +190,39 @@ def generate_with_params(
     ch = model.img_channels
     collected = []
 
+    def flush(pending) -> None:
+        """Materialize a batch on the host and write it out.
+
+        Runs AFTER the next batch's sampling has been enqueued, so PNG
+        encoding/IO (and the host copy) overlap the device's 79-eval scan
+        — the reference serializes decode behind sampling (sample.py:273).
+        """
+        batch_seeds, z, decoded = pending
+        if decoded is not None:
+            try:
+                images_np = to_uint8(np.asarray(decoded))
+            except Exception as exc:
+                if not _is_oom_error(exc):
+                    raise
+                # whole-batch decode blew HBM: redo with halving retry
+                images_np = to_uint8(decode_images(vae_apply, z))
+        elif save_latents or outdir is None:
+            images_np = np.asarray(z)
+        else:
+            raise ValueError("need a VAE to write PNGs; pass vae_apply")
+
+        if outdir is None:
+            collected.append(images_np)
+        elif decoded is not None:
+            save_images(images_np, batch_seeds, outdir, subdirs)
+        else:
+            os.makedirs(outdir, exist_ok=True)
+            np.save(
+                os.path.join(outdir, f"latents_{int(batch_seeds[0]):06d}.npy"),
+                images_np,
+            )
+
+    pending = None
     for batch_seeds in rank_batches:
         if len(batch_seeds) == 0:
             continue
@@ -174,26 +237,14 @@ def generate_with_params(
             labels = jnp.zeros((len(batch_seeds), 0))
 
         rng = jax.random.PRNGKey(int(batch_seeds[0]))
-        z = sample_fn(latents, labels, rng)
+        z = sample_fn(latents, labels, rng)  # async dispatch
+        decoded = vae_apply(z) if vae_apply is not None else None
 
-        if vae_apply is not None:
-            images = decode_images(vae_apply, z)
-            images_np = to_uint8(images)
-        elif save_latents or outdir is None:
-            images_np = np.asarray(z)
-        else:
-            raise ValueError("need a VAE to write PNGs; pass vae_apply")
-
-        if outdir is None:
-            collected.append(images_np)
-        elif vae_apply is not None:
-            save_images(images_np, batch_seeds.tolist(), outdir, subdirs)
-        else:
-            os.makedirs(outdir, exist_ok=True)
-            np.save(
-                os.path.join(outdir, f"latents_{int(batch_seeds[0]):06d}.npy"),
-                images_np,
-            )
+        if pending is not None:
+            flush(pending)  # host IO overlaps this batch's device work
+        pending = (batch_seeds.tolist(), z, decoded)
+    if pending is not None:
+        flush(pending)
 
     if outdir is None and collected:
         return np.concatenate(collected)
