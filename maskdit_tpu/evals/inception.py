@@ -13,8 +13,11 @@ numbers. Weights port from the community-standard
 Outputs per batch of uint8 NCHW images (any resolution; resized to 299
 bilinear, scaled to [-1, 1]):
   pool    (N, 2048)  — pool_3 features (FID, precision/recall)
-  spatial (N, 2023)  — first 7 channels of mixed_6/conv over 17x17 (sFID,
-                       matching the ADM evaluator's choice)
+  spatial (N, 2023)  — ADM's sFID features: TF node "mixed_6/conv:0"
+                       (evaluator.py:36) = the ReLU'd 1x1-branch conv of
+                       the third 17x17 InceptionC block (pytorch-fid name
+                       Mixed_6d.branch1x1), first 7 channels, flattened in
+                       the TF NHWC order (evaluator.py:205,641)
   logits  (N, 1008)  — classifier logits (Inception Score)
 """
 
@@ -93,7 +96,7 @@ class InceptionC(nn.Module):
     c7: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_branch1x1: bool = False):
         c7 = self.c7
         b1 = BasicConv(192, (1, 1), name="branch1x1")(x)
         b7 = BasicConv(c7, (1, 1), name="branch7x7_1")(x)
@@ -106,7 +109,10 @@ class InceptionC(nn.Module):
         bd = BasicConv(192, (1, 7), padding=((0, 0), (3, 3)), name="branch7x7dbl_5")(bd)
         bp = _avg_pool_tf(x)
         bp = BasicConv(192, (1, 1), name="branch_pool")(bp)
-        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+        out = jnp.concatenate([b1, b7, bd, bp], axis=-1)
+        if return_branch1x1:
+            return out, b1
+        return out
 
 
 class InceptionD(nn.Module):
@@ -165,9 +171,12 @@ class InceptionV3(nn.Module):
         x = InceptionB(name="Mixed_6a")(x)
         x = InceptionC(128, name="Mixed_6b")(x)
         x = InceptionC(160, name="Mixed_6c")(x)
-        x = InceptionC(160, name="Mixed_6d")(x)
+        # ADM's sFID tap is TF node "mixed_6/conv:0" (evaluator.py:36,641):
+        # the ReLU'd 1x1-branch conv of the THIRD 17x17 block — pytorch-fid
+        # naming Mixed_6d.branch1x1 — sliced to its first 7 channels.
+        x, branch1x1 = InceptionC(160, name="Mixed_6d")(x, return_branch1x1=True)
+        spatial = branch1x1[..., :7]  # (N, 17, 17, 7)
         x = InceptionC(192, name="Mixed_6e")(x)
-        spatial = x[..., :7]  # (N, 17, 17, 7) -> ADM sFID features
         x = InceptionD(name="Mixed_7a")(x)
         x = InceptionE("avg", name="Mixed_7b")(x)
         x = InceptionE("max", name="Mixed_7c")(x)
@@ -176,7 +185,10 @@ class InceptionV3(nn.Module):
         n = x.shape[0]
         return {
             "pool": pool,
-            "spatial": spatial.transpose(0, 3, 1, 2).reshape(n, -1),
+            # ADM flattens the NHWC TF tensor directly (evaluator.py:205),
+            # so keep (H, W, C) order — published mu_s/sigma_s stats index
+            # features in this order.
+            "spatial": spatial.reshape(n, -1),
             "logits": logits,
         }
 

@@ -139,3 +139,120 @@ def test_png_folder_to_npz(tmp_path):
     ev.png_folder_to_npz(str(d), str(out))
     with np.load(out) as z:
         assert z["arr_0"].shape == (3, 8, 8, 3)
+
+
+def test_stream_npz_batches_roundtrip(tmp_path):
+    """Streaming zip reader must reproduce np.load exactly, for both stored
+    and deflated members, with a ragged final batch."""
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 255, size=(13, 8, 8, 3), dtype=np.uint8)
+    p_raw = tmp_path / "raw.npz"
+    p_zip = tmp_path / "comp.npz"
+    np.savez(p_raw, arr_0=arr)
+    np.savez_compressed(p_zip, arr_0=arr)
+    for p in (p_raw, p_zip):
+        shape, dtype = ev.npz_array_info(str(p))
+        assert shape == arr.shape and dtype == np.uint8
+        got = np.concatenate(list(ev.stream_npz_batches(str(p), 4, to_nchw=False)))
+        np.testing.assert_array_equal(got, arr)
+        # NCHW conversion for the detector
+        nchw = np.concatenate(list(ev.stream_npz_batches(str(p), 5)))
+        np.testing.assert_array_equal(nchw, arr.transpose(0, 3, 1, 2))
+
+
+def test_stream_npz_float_and_2d(tmp_path):
+    feats = np.random.default_rng(4).normal(size=(7, 5)).astype(np.float32)
+    p = tmp_path / "f.npz"
+    np.savez(p, arr_0=feats)
+    got = np.concatenate(list(ev.stream_npz_batches(str(p), 3)))
+    np.testing.assert_array_equal(got, feats)
+    assert ev.npz_has_key(str(p), "arr_0") and not ev.npz_has_key(str(p), "mu")
+
+
+def test_evaluator_streaming_matches_in_memory():
+    """features_from_batches over minibatch streams == one-shot; ragged
+    batches are padded, not recompiled/dropped."""
+    calls = []
+
+    def fake_detector(images):
+        calls.append(images.shape[0])
+        n = images.shape[0]
+        flat = images.reshape(n, -1).astype(np.float32)
+        return {
+            "pool": flat[:, :4],
+            "spatial": flat[:, :3] * 2.0,
+            "logits": flat[:, :5] - 1.0,
+        }
+
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 255, size=(11, 3, 4, 4), dtype=np.uint8)
+    e = ev.Evaluator(fake_detector, batch=4)
+    streamed = e.features_from_batches(
+        [imgs[:6], imgs[6:]]
+    )
+    whole = e.features_for(imgs)
+    for k in ("pool", "spatial", "logits"):
+        np.testing.assert_array_equal(streamed[k], whole[k])
+    assert set(calls) == {4}, calls  # every detector call is padded to batch
+
+
+def test_feature_stats_and_distance_helpers():
+    rng = np.random.default_rng(6)
+    a = rng.normal(size=(800, 6))
+    b = rng.normal(size=(800, 6)) + 2.0
+    d1 = ev.frechet_distance(a, b)
+    d2 = ev.frechet_distance_from_stats(ev.feature_stats(a), ev.feature_stats(b))
+    assert abs(d1 - d2) < 1e-12
+
+
+@pytest.mark.slow
+def test_evaluator_cli_end_to_end(tmp_path, capsys, monkeypatch):
+    """The ADM-suite CLI runs npz -> all five metrics (VERDICT r1 item 4)."""
+    import sys
+
+    import evaluator as cli  # repo-root CLI module
+
+    rng = np.random.default_rng(7)
+    ref = rng.integers(0, 255, size=(8, 16, 16, 3), dtype=np.uint8)
+    sample = rng.integers(0, 255, size=(8, 16, 16, 3), dtype=np.uint8)
+    ref_p, sample_p = tmp_path / "ref.npz", tmp_path / "sample.npz"
+    np.savez(ref_p, arr_0=ref)
+    np.savez(sample_p, arr_0=sample)
+
+    monkeypatch.setattr(sys, "argv", [
+        "evaluator.py", str(ref_p), str(sample_p),
+        "--random_detector", "--batch_size", "4",
+    ])
+    cli.main()
+    out = capsys.readouterr().out
+    for metric in ("Inception Score:", "FID:", "sFID:", "Precision:", "Recall:"):
+        assert metric in out, out
+
+
+@pytest.mark.slow
+def test_evaluator_cli_stats_only_ref(tmp_path, capsys, monkeypatch):
+    """Reference npz with mu/sigma (+mu_s/sigma_s) but no images: FID/sFID
+    computed from stats, P&R skipped with a notice (ADM read_statistics)."""
+    import sys
+
+    import evaluator as cli
+
+    rng = np.random.default_rng(8)
+    sample = rng.integers(0, 255, size=(8, 16, 16, 3), dtype=np.uint8)
+    sample_p = tmp_path / "sample.npz"
+    np.savez(sample_p, arr_0=sample)
+    ref_p = tmp_path / "ref_stats.npz"
+    np.savez(
+        ref_p,
+        mu=np.zeros(2048), sigma=np.eye(2048),
+        mu_s=np.zeros(2023), sigma_s=np.eye(2023),
+    )
+
+    monkeypatch.setattr(sys, "argv", [
+        "evaluator.py", str(ref_p), str(sample_p),
+        "--random_detector", "--batch_size", "4",
+    ])
+    cli.main()
+    out = capsys.readouterr().out
+    assert "FID:" in out and "sFID:" in out
+    assert "Precision: n/a" in out and "Recall: n/a" in out

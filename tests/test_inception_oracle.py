@@ -169,14 +169,16 @@ class TorchFIDInception(tnn.Module):
         x = self.Mixed_6a(x)
         x = self.Mixed_6b(x)
         x = self.Mixed_6c(x)
+        # ADM sFID tap: TF "mixed_6/conv:0" = Mixed_6d.branch1x1 output
+        # (ReLU'd), first 7 channels, flattened NHWC (evaluator.py:36,205,641)
+        spatial = self.Mixed_6d.branch1x1(x)[:, :7]
         x = self.Mixed_6d(x)
         x = self.Mixed_6e(x)
-        spatial = x[:, :7]
         x = self.Mixed_7a(x)
         x = self.Mixed_7b(x)
         x = self.Mixed_7c(x)
         pool = x.mean(dim=(2, 3))
-        return pool, spatial.flatten(1), self.fc(pool)
+        return pool, spatial.permute(0, 2, 3, 1).flatten(1), self.fc(pool)
 
 
 @pytest.mark.slow
@@ -207,8 +209,7 @@ def test_inception_matches_torch_oracle():
     np.testing.assert_allclose(
         np.asarray(out["logits"]), t_logits.numpy(), atol=2e-2
     )
-    # spatial: ours is (N, 7*17*17) in channel-major order, same as torch's
-    # (N, 7, 17, 17).flatten(1)
+    # spatial: both (N, 17*17*7) flattened in NHWC order (ADM's TF reshape)
     np.testing.assert_allclose(
         np.asarray(out["spatial"]), t_spatial.numpy(), atol=2e-3
     )
