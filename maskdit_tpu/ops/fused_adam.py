@@ -1,0 +1,235 @@
+"""Single-pass fused Adam + EMA update (Pallas).
+
+The reference leans on apex ``FusedAdam`` (train.py:141) plus a separate
+Python EMA pass (helper.py:48-58). On TPU the optimizer tail is pure HBM
+bandwidth: for XL/2 (675M fp32 params) one Adam pass moves ~19 GB and the
+EMA pass another ~8 GB. XLA schedules optax's update as several loops
+(measured 65 ms/step on v5e r1); this kernel does
+
+    m   <- b1*m + (1-b1)*g
+    v   <- b2*v + (1-b2)*g^2
+    p   <- p - lr * (m/bc1) / (sqrt(v/bc2) + eps)
+    ema <- d*ema + (1-d)*p
+
+in ONE read-modify-write sweep per leaf: 5 reads + 4 writes = 9 passes
+over the params (~24 GB, ~30 ms at 819 GB/s v5e HBM), with outputs
+aliased onto inputs so no extra buffers exist.
+
+Math matches optax.scale_by_adam (bias-corrected, eps outside the sqrt)
+== torch/apex Adam, so the optax ``ScaleByAdamState`` checkpoints stay
+valid; :class:`FusedAdamEma` reads and writes that exact state tree.
+
+Leaves smaller than one tile row or not 128-divisible fall back to the
+identical jnp math (XLA fuses those fine; they are <0.1% of the bytes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import os
+
+LANES = 128
+# 512x128 fp32 = 256 KB/buffer; 9 buffers ~2.3 MB VMEM (double-buffered ~4.6)
+BLOCK_ROWS = int(os.environ.get("MASKDIT_FUSED_ADAM_BLOCK_ROWS", "512"))
+
+
+def _adam_ema_kernel(b1, b2, eps, with_ema,
+                     s_ref, g_ref, p_ref, m_ref, v_ref, e_ref,
+                     p_out, m_out, v_out, e_out):
+    lr = s_ref[0, 0]
+    bc1 = s_ref[0, 1]  # 1 - b1^t
+    bc2 = s_ref[0, 2]  # 1 - b2^t
+    d = s_ref[0, 3]  # ema decay
+    g = g_ref[:]
+    m = b1 * m_ref[:] + (1.0 - b1) * g
+    v = b2 * v_ref[:] + (1.0 - b2) * g * g
+    denom = jnp.sqrt(v / bc2) + eps
+    p = p_ref[:] - lr * (m / bc1) / denom
+    p_out[:] = p
+    m_out[:] = m
+    v_out[:] = v
+    if with_ema:
+        e_out[:] = d * e_ref[:] + (1.0 - d) * p
+    else:
+        e_out[:] = e_ref[:]
+
+
+def _leaf_update_pallas(scalars, g, p, m, v, e, *, b1, b2, eps, with_ema,
+                        interpret):
+    """One leaf, reshaped (rows, 128), gridded over row blocks."""
+    orig_shape = p.shape
+    rows = p.size // LANES
+    as2d = lambda a: a.reshape(rows, LANES)
+    g2, p2, m2, v2, e2 = map(as2d, (g, p, m, v, e))
+    grid = (pl.cdiv(rows, BLOCK_ROWS),)
+    tile = pl.BlockSpec(
+        (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    kernel = functools.partial(_adam_ema_kernel, b1, b2, eps, with_ema)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem, tile, tile, tile, tile, tile],
+        out_specs=(tile, tile, tile, tile),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32) for _ in range(4)
+        ),
+        # in-place: p, m, v, ema buffers are reused for the outputs
+        input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
+        interpret=interpret,
+    )(scalars, g2, p2, m2, v2, e2)
+    new_p, new_m, new_v, new_e = (a.reshape(orig_shape) for a in out)
+    return new_p, new_m, new_v, new_e
+
+
+def _leaf_update_jnp(scalars, g, p, m, v, e, *, b1, b2, eps, with_ema):
+    """Fallback for tiny/ragged leaves — same math, plain XLA."""
+    lr, bc1, bc2, d = (scalars[0, i] for i in range(4))
+    g = g.astype(jnp.float32)
+    m = b1 * m + (1.0 - b1) * g
+    v = b2 * v + (1.0 - b2) * g * g
+    p = p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+    e = d * e + (1.0 - d) * p if with_ema else e
+    return p, m, v, e
+
+
+def fused_adam_ema(
+    grads: Any,
+    params: Any,
+    mu: Any,
+    nu: Any,
+    ema: Any,
+    *,
+    lr: jax.Array,
+    count_inc: jax.Array,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    ema_decay: Union[float, jax.Array] = 0.9999,
+    with_ema: bool = True,
+    mode: Optional[str] = None,  # 'pallas' | 'jnp' | 'interpret' | None=auto
+) -> tuple[Any, Any, Any, Any]:
+    """Apply the fused update across a pytree.
+
+    Returns (new_params, new_mu, new_nu, new_ema). ``count_inc`` is the
+    post-increment step (optax convention for bias correction).
+
+    mode: 'pallas' = the single-sweep kernel; 'jnp' = the same math as one
+    jnp expression per leaf (XLA-fused; correct everywhere); 'interpret' =
+    the Pallas kernel under the interpreter (tests exercise kernel
+    semantics on CPU). auto = 'jnp': measured on v5e r2, XLA already
+    streams this update at ~596 GB/s while the per-leaf Pallas kernel
+    reached only ~492 GB/s plus ~0.2 ms/call dispatch overhead (ruinous at
+    ~600 leaves) and broke donation aliasing (bs48/64 OOM). Keep 'pallas'
+    opt-in until it beats that bar.
+    """
+    if mode is None:
+        mode = "jnp"
+    interpret = mode == "interpret"
+
+    t = count_inc.astype(jnp.float32)
+    scalars = jnp.stack([
+        jnp.asarray(lr, jnp.float32),
+        1.0 - jnp.asarray(b1, jnp.float32) ** t,
+        1.0 - jnp.asarray(b2, jnp.float32) ** t,
+        jnp.asarray(ema_decay, jnp.float32),
+    ]).reshape(1, 4)
+
+    def leaf(g, p, m, v, e):
+        if mode != "jnp" and p.size >= LANES and p.size % LANES == 0:
+            return _leaf_update_pallas(
+                scalars, g, p, m, v, e,
+                b1=b1, b2=b2, eps=eps, with_ema=with_ema,
+                interpret=interpret,
+            )
+        return _leaf_update_jnp(
+            scalars, g, p, m, v, e, b1=b1, b2=b2, eps=eps, with_ema=with_ema
+        )
+
+    flat_g, treedef = jax.tree_util.tree_flatten(grads)
+    flat_p = treedef.flatten_up_to(params)
+    flat_m = treedef.flatten_up_to(mu)
+    flat_v = treedef.flatten_up_to(nu)
+    flat_e = treedef.flatten_up_to(ema)
+    outs = [leaf(*args) for args in zip(flat_g, flat_p, flat_m, flat_v, flat_e)]
+    unflat = lambda i: jax.tree_util.tree_unflatten(
+        treedef, [o[i] for o in outs]
+    )
+    return unflat(0), unflat(1), unflat(2), unflat(3)
+
+
+class FusedAdamEma:
+    """Adam + EMA with optax-compatible state.
+
+    ``init`` delegates to ``optax.adam`` so the optimizer state tree
+    (``(ScaleByAdamState, ...)``) and therefore checkpoints are identical
+    to the unfused path; ``update_with_ema`` replaces
+    ``optimizer.update + apply_updates + incremental_update`` with the
+    single-sweep kernel.
+    """
+
+    def __init__(
+        self,
+        learning_rate: Union[float, Callable[[jax.Array], jax.Array]],
+        b1: float = 0.9,
+        b2: float = 0.999,
+        eps: float = 1e-8,
+        default_mode: Optional[str] = None,  # see fused_adam_ema(mode=...)
+    ):
+        self.learning_rate = learning_rate
+        self.b1, self.b2, self.eps = b1, b2, eps
+        self.default_mode = default_mode
+        self._optax = optax.adam(
+            learning_rate=learning_rate, b1=b1, b2=b2, eps=eps
+        )
+
+    def init(self, params: Any):
+        return self._optax.init(params)
+
+    # optax fallback surface so the object can stand in for a
+    # GradientTransformation where the fused path isn't wanted.
+    def update(self, grads, state, params=None):
+        return self._optax.update(grads, state, params)
+
+    def update_with_ema(
+        self,
+        grads: Any,
+        opt_state: Any,
+        params: Any,
+        ema: Any,
+        ema_decay: Union[float, jax.Array] = 0.9999,
+        with_ema: bool = True,
+        mode: Optional[str] = None,
+    ):
+        adam_state = opt_state[0]
+        count_inc = adam_state.count + 1
+        lr = (
+            self.learning_rate(adam_state.count)
+            if callable(self.learning_rate)
+            else self.learning_rate
+        )
+        new_p, new_m, new_v, new_e = fused_adam_ema(
+            grads, params, adam_state.mu, adam_state.nu, ema,
+            lr=jnp.asarray(lr), count_inc=count_inc,
+            b1=self.b1, b2=self.b2, eps=self.eps,
+            ema_decay=ema_decay, with_ema=with_ema,
+            mode=mode or self.default_mode,
+        )
+        new_adam = adam_state._replace(count=count_inc, mu=new_m, nu=new_v)
+        # the trailing transforms (lr scaling / empty state) are stateless
+        # for constant lr; for schedules bump their count to stay in sync
+        rest = tuple(
+            s._replace(count=count_inc)
+            if "count" in getattr(s, "_fields", ()) else s
+            for s in opt_state[1:]
+        )
+        return new_p, (new_adam, *rest), new_e
