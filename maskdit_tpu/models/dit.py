@@ -51,12 +51,12 @@ class _ScanBody(nn.Module):
     use_flash: Optional[bool]
 
     @nn.compact
-    def __call__(self, x, c):
+    def __call__(self, x, c, kv_valid):
         x = self.block_cls(
             self.hidden_size, self.c_emb_size, self.num_heads,
             mlp_ratio=self.mlp_ratio, dtype=self.dtype,
             use_flash=self.use_flash, name="block",
-        )(x, c)
+        )(x, c, kv_valid)
         return x, None
 
 
@@ -78,19 +78,20 @@ class ScannedBlocks(nn.Module):
     use_flash: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, c: jax.Array,
+                 kv_valid: Optional[jax.Array] = None) -> jax.Array:
         scan = nn.scan(
             _ScanBody,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.depth,
-            in_axes=nn.broadcast,
+            in_axes=(nn.broadcast, nn.broadcast),
         )
         x, _ = scan(
             self.block_cls, self.hidden_size, self.c_emb_size,
             self.num_heads, self.mlp_ratio, self.dtype, self.use_flash,
             name="scan",
-        )(x, c)
+        )(x, c, kv_valid)
         return x
 
 
@@ -169,6 +170,19 @@ class MaskDiT(nn.Module):
             block_cls = nn.remat(
                 DiTBlock, policy=jax.checkpoint_policies.checkpoint_dots
             )
+        elif self.remat == "names":
+            # keep every GEMM's input and output (tagged in the block):
+            # bwd recomputes only LN/modulate/softmax/gelu elementwise
+            # chains — no GEMM reruns, smaller footprint than XLA's
+            # default keep-set. Named-value policy also sidesteps the env
+            # bug where checkpoint_dots crashes the AOT compiler.
+            block_cls = nn.remat(
+                DiTBlock,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "h_msa", "qkv_out", "attn_out",
+                    "h_mlp", "fc1_out", "mlp_out",
+                ),
+            )
         else:
             block_cls = DiTBlock
         if self.scan_blocks:
@@ -245,11 +259,12 @@ class MaskDiT(nn.Module):
 
     # -- pieces -------------------------------------------------------------
     @staticmethod
-    def _run_blocks(blocks, x: jax.Array, c: jax.Array) -> jax.Array:
+    def _run_blocks(blocks, x: jax.Array, c: jax.Array,
+                    kv_valid: Optional[jax.Array] = None) -> jax.Array:
         if isinstance(blocks, ScannedBlocks):
-            return blocks(x, c)
+            return blocks(x, c, kv_valid)
         for block in blocks:
-            x = block(x, c)
+            x = block(x, c, kv_valid)
         return x
 
     def _condition(self, t: jax.Array, y: Optional[jax.Array],
@@ -285,6 +300,16 @@ class MaskDiT(nn.Module):
             )
         return x, mask_info
 
+    def _kv_valid(self, mask_info: Optional[masking.MaskInfo],
+                  train: bool, mask_ratio: float) -> Optional[jax.Array]:
+        """Valid-prefix length for pad-to-max masking (None = all valid)."""
+        if (
+            train and mask_ratio > 0 and mask_info is not None
+            and mask_info.len_keep is not None
+        ):
+            return mask_info.len_keep + self.extras
+        return None
+
     def encode(
         self, x: jax.Array, t: jax.Array, y: Optional[jax.Array],
         mask_ratio: float = 0.0, mask_info: Optional[masking.MaskInfo] = None,
@@ -292,9 +317,17 @@ class MaskDiT(nn.Module):
     ) -> tuple[jax.Array, Optional[masking.MaskInfo]]:
         """Pooled encoder feature for self-conditioning (reference: :426-464)."""
         x, mask_info = self._embed_and_mask(x, mask_ratio, mask_info, train=True)
+        kv_valid = self._kv_valid(mask_info, train=True, mask_ratio=mask_ratio)
         c = self._condition(t, y, feat)
-        x = self._run_blocks(self.blocks, x, c)
-        x_feat = jnp.mean(x[:, self.extras:, :], axis=1)
+        x = self._run_blocks(self.blocks, x, c, kv_valid)
+        body = x[:, self.extras:, :]
+        if kv_valid is not None:
+            # masked mean: padded-tail tokens carry garbage
+            len_keep = mask_info.len_keep
+            valid = (jnp.arange(body.shape[1]) < len_keep)[None, :, None]
+            x_feat = jnp.sum(body * valid, axis=1) / len_keep
+        else:
+            x_feat = jnp.mean(body, axis=1)
         return layer_norm_no_affine(x_feat), mask_info
 
     def forward_encoder(
@@ -307,8 +340,9 @@ class MaskDiT(nn.Module):
         Returns (out_enc dict with 'x', c, mask_info) like the reference.
         """
         x_tok, mask_info = self._embed_and_mask(x, mask_ratio, mask_info, train)
+        kv_valid = self._kv_valid(mask_info, train, mask_ratio)
         c = self._condition(t, y, feat)
-        x_tok = self._run_blocks(self.blocks, x_tok, c)
+        x_tok = self._run_blocks(self.blocks, x_tok, c, kv_valid)
         return {"x": x_tok}, c, mask_info
 
     def __call__(
@@ -340,19 +374,31 @@ class MaskDiT(nn.Module):
                     self.mask_token if self.mae_loss_coef > 0
                     else jnp.zeros((1, 1, x_tok.shape[2]), x_tok.dtype)
                 )
-                x_tok = masking.scatter_tokens(
-                    x_tok, mask_info.ids_restore, mask_token,
-                    extras=self.decoder_extras,
-                )
+                if mask_info.len_keep is not None:
+                    x_tok = masking.scatter_tokens_padded(
+                        x_tok, mask_info.ids_restore, mask_token,
+                        mask_info.len_keep, extras=self.decoder_extras,
+                    )
+                else:
+                    x_tok = masking.scatter_tokens(
+                        x_tok, mask_info.ids_restore, mask_token,
+                        extras=self.decoder_extras,
+                    )
             x_tok = x_tok + self._decoder_pos_embed().astype(self.dtype)
             x_tok = self._run_blocks(self.decoder_blocks, x_tok, c)
 
         x_tok = self.final_layer(x_tok, c)
         if not self.use_decoder and train and mask_ratio > 0:
             zero_tok = jnp.zeros((1, 1, x_tok.shape[2]), x_tok.dtype)
-            x_tok = masking.scatter_tokens(
-                x_tok, mask_info.ids_restore, zero_tok, extras=self.extras
-            )
+            if mask_info.len_keep is not None:
+                x_tok = masking.scatter_tokens_padded(
+                    x_tok, mask_info.ids_restore, zero_tok,
+                    mask_info.len_keep, extras=self.extras,
+                )
+            else:
+                x_tok = masking.scatter_tokens(
+                    x_tok, mask_info.ids_restore, zero_tok, extras=self.extras
+                )
         x_tok = x_tok[:, self.decoder_extras:, :]
         out["x"] = self.unpatchify(x_tok)
         return out

@@ -205,16 +205,19 @@ class Attention(nn.Module):
     use_flash: bool | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, kv_valid: jax.Array | None = None) -> jax.Array:
         n, l, d = x.shape
         hd = d // self.num_heads
         qkv = nn.Dense(
             3 * d, kernel_init=xavier_uniform, bias_init=zeros_init,
             dtype=self.dtype, name="qkv",
         )(x)
+        from jax.ad_checkpoint import checkpoint_name
+
+        qkv = checkpoint_name(qkv, "qkv_out")
         qkv = qkv.reshape(n, l, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # each (N, H, L, hd)
-        out = mha(q, k, v, use_flash=self.use_flash)
+        out = mha(q, k, v, use_flash=self.use_flash, kv_valid=kv_valid)
         out = out.transpose(0, 2, 1, 3).reshape(n, l, d)
         return nn.Dense(
             d, kernel_init=xavier_uniform, bias_init=zeros_init,
@@ -231,10 +234,13 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from jax.ad_checkpoint import checkpoint_name
+
         h = nn.Dense(
             self.mlp_hidden, kernel_init=xavier_uniform, bias_init=zeros_init,
             dtype=self.dtype, name="fc1",
         )(x)
+        h = checkpoint_name(h, "fc1_out")
         h = gelu_tanh(h)
         return nn.Dense(
             self.hidden_size, kernel_init=xavier_uniform, bias_init=zeros_init,
@@ -257,7 +263,8 @@ class DiTBlock(nn.Module):
     use_flash: bool | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, c: jax.Array,
+                 kv_valid: jax.Array | None = None) -> jax.Array:
         mod = nn.Dense(
             6 * self.hidden_size, kernel_init=zeros_init, bias_init=zeros_init,
             dtype=self.dtype, name="adaLN_modulation",
@@ -265,18 +272,27 @@ class DiTBlock(nn.Module):
         (shift_msa, scale_msa, gate_msa,
          shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
 
+        from jax.ad_checkpoint import checkpoint_name
+
+        # names let a save_only_these_names remat policy keep exactly the
+        # matmul inputs (h_msa/h_mlp) + attention output, recomputing the
+        # cheap LN/modulate chains in the backward pass
         h = modulate(layer_norm_no_affine(x), shift_msa, scale_msa)
+        h = checkpoint_name(h, "h_msa")
         attn_out = Attention(
             self.hidden_size, self.num_heads, dtype=self.dtype,
             use_flash=self.use_flash, name="attn",
-        )(h)
+        )(h, kv_valid)
+        attn_out = checkpoint_name(attn_out, "attn_out")
         x = x + gate_msa[:, None, :] * attn_out
 
         h = modulate(layer_norm_no_affine(x), shift_mlp, scale_mlp)
+        h = checkpoint_name(h, "h_mlp")
         mlp_out = Mlp(
             self.hidden_size, int(self.hidden_size * self.mlp_ratio),
             dtype=self.dtype, name="mlp",
         )(h)
+        mlp_out = checkpoint_name(mlp_out, "mlp_out")
         return x + gate_mlp[:, None, :] * mlp_out
 
 

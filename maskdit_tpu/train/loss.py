@@ -79,16 +79,23 @@ class EDMLoss:
 
     def __call__(
         self,
-        net_apply,  # callable(x, sigma, labels, mask_ratio, rngs) -> dict
+        net_apply,  # callable(x, sigma, labels, mask_ratio, feat, rngs, mask_info)
         images: jax.Array,
         rng: jax.Array,
         labels: Optional[jax.Array] = None,
-        mask_ratio: float = 0.0,
+        mask_ratio: Any = 0.0,  # float (static) or traced scalar (padded)
         mae_loss_coef: float = 0.0,
         patch_size: int = 2,
         feat: Optional[jax.Array] = None,
+        mask_len_max: Optional[int] = None,
     ) -> tuple[jax.Array, dict[str, Any]]:
-        """Returns (per-sample loss (N,), aux dict)."""
+        """Returns (per-sample loss (N,), aux dict).
+
+        ``mask_len_max`` switches to pad-to-max masking: ``mask_ratio`` may
+        then be a traced scalar — one compiled step serves every schedule
+        value (SURVEY.md §7) — and the mask is drawn here so the model gets
+        an explicit padded MaskInfo.
+        """
         rng_sigma, rng_noise, rng_mask = jax.random.split(rng, 3)
         n_batch = images.shape[0]
         rnd_normal = jax.random.normal(rng_sigma, (n_batch, 1, 1, 1))
@@ -98,15 +105,37 @@ class EDMLoss:
         y = images.astype(jnp.float32)
         noise = jax.random.normal(rng_noise, y.shape) * sigma
 
+        if mask_len_max is not None:
+            from maskdit_tpu.models import masking
+
+            n_tokens = (images.shape[2] // patch_size) * (
+                images.shape[3] // patch_size
+            )
+            # reference len_keep = int(L * (1 - ratio)) (maskdit.py:101)
+            len_keep = jnp.floor(
+                n_tokens * (1.0 - jnp.asarray(mask_ratio, jnp.float32))
+            ).astype(jnp.int32)
+            mask_info = masking.padded_random_mask(
+                rng_mask, n_batch, n_tokens, mask_len_max, len_keep
+            )
+            masked = True
+            # static gate for the model's masking branches; the actual
+            # ratio lives in mask_info
+            ratio_arg = 0.5
+        else:
+            mask_info = None
+            masked = float(mask_ratio) > 0
+            ratio_arg = float(mask_ratio)
+
         model_out = net_apply(
-            y + noise, sigma.reshape(-1), labels, mask_ratio, feat,
-            {"mask": rng_mask},
+            y + noise, sigma.reshape(-1), labels, ratio_arg, feat,
+            {"mask": rng_mask}, mask_info,
         )
         d_yn = model_out["x"].astype(jnp.float32)
         loss_px = weight * jnp.square(d_yn - y)  # (N, C, H, W)
 
         aux = {"sigma_mean": sigma.mean()}
-        if mask_ratio > 0:
+        if masked:
             loss_patch = per_patch_mean(loss_px, patch_size)  # (N, L)
             unmask = 1.0 - model_out["mask"]
             loss_vec = (loss_patch * unmask).sum(axis=1) / unmask.sum(axis=1)

@@ -56,15 +56,34 @@ def make_optimizer(
     betas: tuple[float, float] = (0.9, 0.999),
     eps: float = 1e-8,
     weight_decay: float = 0.0,
-) -> optax.GradientTransformation:
+    fused: Any = False,  # False | True | 'pallas' | 'jnp'
+):
     """AdamW matching apex FusedAdam(adam_w_mode=True, wd=0) + kimg warmup
-    (reference: train.py:141, 223-226)."""
+    (reference: train.py:141, 223-226).
+
+    ``fused=True`` returns a :class:`~maskdit_tpu.ops.fused_adam.FusedAdamEma`
+    (single-sweep Pallas Adam+EMA, optax-compatible state). Use it when
+    params are unsharded (single chip / pure DP replication); the sharded
+    FSDP path keeps plain optax until the update is shard_mapped.
+    """
     if rampup_kimg > 0:
         schedule = lambda step: lr_with_rampup(
             step, base_lr, global_batch_size, rampup_kimg
         )
     else:
         schedule = base_lr
+    if fused:
+        if weight_decay != 0.0:
+            raise NotImplementedError(
+                "fused Adam+EMA implements wd=0 (the reference setting, "
+                "configs/train/*.yaml)"
+            )
+        from maskdit_tpu.ops.fused_adam import FusedAdamEma
+
+        return FusedAdamEma(
+            learning_rate=schedule, b1=betas[0], b2=betas[1], eps=eps,
+            default_mode=fused if isinstance(fused, str) else None,
+        )
     if weight_decay == 0.0:
         # adam == adamw at wd 0, minus one full decay pass over the params
         return optax.adam(
@@ -109,9 +128,15 @@ def create_train_state(
 
 def _apply_updates_fused(optimizer, params, grads, opt_state, ema, ema_decay,
                          step, ema_every: int = 1):
-    """Optimizer + EMA update. Staged via optax; inside the jitted step XLA
-    fuses the whole chain into one elementwise pass per leaf, so the update
-    runs at the HBM-bandwidth floor (~30 ms for 675M fp32 params on v5e).
+    """Optimizer + EMA update.
+
+    When ``optimizer`` is a :class:`~maskdit_tpu.ops.fused_adam.FusedAdamEma`
+    the whole update (Adam moments + param step + EMA) runs as one
+    single-sweep expression per leaf (default mode='jnp'; XLA streams it
+    at ~596 GB/s on v5e, ~41 ms for 675M fp32 params — measured equal to
+    the staged optax chain, which XLA fuses just as well; the Pallas
+    kernel variant is opt-in, see ops/fused_adam.py). Otherwise it stages
+    through optax.
 
     ema_every > 1 amortizes the EMA traffic (measured 15-28 ms/step for
     675M fp32 params): the EMA pass runs every k-th step with decay^k,
@@ -120,6 +145,22 @@ def _apply_updates_fused(optimizer, params, grads, opt_state, ema, ema_decay,
     (horizon ~10K steps) k<=8 is numerically indistinguishable for
     evaluation purposes but is still an approximation - off by default.
     """
+    from maskdit_tpu.ops.fused_adam import FusedAdamEma
+
+    if isinstance(optimizer, FusedAdamEma):
+        if ema_every <= 1:
+            return optimizer.update_with_ema(
+                grads, opt_state, params, ema, ema_decay=ema_decay
+            )
+        decay_k = ema_decay ** ema_every
+        do_ema = (step + 1) % ema_every == 0
+        # both branches run the identical kernel; only the decay scalar
+        # and with_ema flag differ, selected by a traced predicate
+        eff_decay = jnp.where(do_ema, decay_k, 1.0)
+        return optimizer.update_with_ema(
+            grads, opt_state, params, ema, ema_decay=eff_decay
+        )
+
     updates, new_opt_state = optimizer.update(grads, opt_state, params)
     new_params = optax.apply_updates(params, updates)
     if ema_every <= 1:
@@ -155,31 +196,44 @@ def make_train_step(
     reparam_moments: bool = True,
     log_grad_norm: bool = True,  # costs one extra pass over the gradients
     ema_every: int = 1,  # >1 amortizes EMA traffic with decay^k (approx.)
+    pad_to_max: bool = False,
+    mask_len_max: Optional[int] = None,
 ) -> Callable[[TrainState, dict, jax.Array], tuple[TrainState, dict]]:
     """Build the jittable train step.
 
     batch: {'x': (N, C or 2C, H, W) latents-or-moments, 'y': (N, K) one-hot}.
     ``mask_ratio`` is static; build one step per bucketed ratio.
+
+    ``pad_to_max=True`` compiles ONE step for every mask ratio: the per-step
+    ratio arrives as ``batch['mask_ratio']`` (a scalar array) and masking
+    pads the packed buffer to ``mask_len_max`` tokens (default: the full
+    sequence, supporting any schedule) with attention masking on the tail.
+    Numerics match the packed-exact path; FLOPs are those of mask_len_max.
     """
     loss_fn = loss_fn or EDMLoss()
     patch_size = int(model.model_type.rsplit("/", 1)[1])
+    if pad_to_max and mask_len_max is None:
+        mask_len_max = (model.img_resolution // patch_size) ** 2
 
-    def microbatch_loss(params, x, y, feat, rng):
-        def net_apply(xin, sigma, labels, m_ratio, f, rngs):
+    def microbatch_loss(params, x, y, feat, rng, ratio):
+        def net_apply(xin, sigma, labels, m_ratio, f, rngs, mask_info=None):
             return model.apply(
                 {"params": params}, xin, sigma, labels,
-                mask_ratio=m_ratio, feat=f, train=True, rngs=rngs,
+                mask_ratio=m_ratio, mask_info=mask_info, feat=f, train=True,
+                rngs=rngs,
             )
 
         loss_vec, aux = loss_fn(
-            net_apply, x, rng, labels=y, mask_ratio=mask_ratio,
+            net_apply, x, rng, labels=y, mask_ratio=ratio,
             mae_loss_coef=mae_loss_coef, patch_size=patch_size, feat=feat,
+            mask_len_max=mask_len_max if pad_to_max else None,
         )
         return loss_vec.mean(), aux
 
     grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        ratio = batch["mask_ratio"] if pad_to_max else mask_ratio
         rng = jax.random.fold_in(rng, state.step)
         rng_z, rng_drop, rng_loss = jax.random.split(rng, 3)
 
@@ -197,7 +251,7 @@ def make_train_step(
             y = y * keep
 
         if grad_accum == 1:
-            (loss, aux), grads = grad_fn(state.params, x, y, feat, rng_loss)
+            (loss, aux), grads = grad_fn(state.params, x, y, feat, rng_loss, ratio)
         else:
             micro = x.shape[0] // grad_accum
 
@@ -217,7 +271,8 @@ def make_train_step(
                 else:
                     i, x_i, y_i, f_i = inputs
                 (l, aux_i), g = grad_fn(
-                    state.params, x_i, y_i, f_i, jax.random.fold_in(rng_loss, i)
+                    state.params, x_i, y_i, f_i,
+                    jax.random.fold_in(rng_loss, i), ratio,
                 )
                 g_sum = jax.tree.map(jnp.add, g_sum, g)
                 return (g_sum, l_sum + l), aux_i

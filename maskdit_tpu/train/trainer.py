@@ -144,10 +144,20 @@ class Trainer:
             class_dropout_prob=config.model.get("class_dropout_prob", 0.1),
             dtype=jnp.float32 if config.train.get("fp32", False) else jnp.bfloat16,
         )
+        # fused single-sweep Adam+EMA whenever params are replicated (any
+        # mesh without an fsdp/tensor axis >1); FSDP shards params so the
+        # fused kernel would force gathers — keep staged optax there.
+        params_replicated = all(
+            self.mesh.shape.get(ax, 1) == 1 for ax in ("fsdp", "tensor")
+        )
+        self.fused_adam = bool(
+            config.train.get("fused_adam", params_replicated)
+        )
         self.optimizer = make_optimizer(
             config.train.lr,
             global_batch_size=self.global_batch,
             rampup_kimg=config.train.get("lr_rampup_kimg", 0) or 0,
+            fused=self.fused_adam,
         )
 
         with self.mesh:
@@ -195,7 +205,40 @@ class Trainer:
 
         self._step_cache: dict[float, Any] = {}
 
+    @property
+    def pad_to_max(self) -> bool:
+        """One compiled step for all mask ratios (train.pad_to_max: true).
+
+        Bucketed ratios recompile per distinct value — 5-15 min each through
+        this environment's remote-compile tunnel, unusable for cosine
+        finetune schedules (~32 buckets). Pad-to-max trades those compiles
+        for running the encoder at the schedule's max kept-token count.
+        """
+        return bool(self.config.train.get("pad_to_max", False))
+
+    def _mask_len_max(self) -> int:
+        """Most tokens any schedule value keeps (probed on a progress grid)."""
+        from maskdit_tpu.models.masking import len_keep_for
+
+        min_ratio = min(
+            float(self.mask_ratio_fn(i / 256.0)) for i in range(257)
+        )
+        return max(1, len_keep_for(self.seq_len, min_ratio))
+
     def _step_for_ratio(self, ratio: float):
+        if self.pad_to_max:
+            key = "padded"
+            if key not in self._step_cache:
+                self._step_cache[key] = make_sharded_train_step(
+                    self.model, self.optimizer, self.mesh, self.shardings,
+                    mask_ratio=0.5,  # unused gate; ratio rides the batch
+                    mae_loss_coef=self.config.model.mae_loss_coef,
+                    class_dropout_prob=self.config.model.get("class_dropout_prob", 0.1),
+                    grad_accum=self.grad_accum,
+                    pad_to_max=True,
+                    mask_len_max=self._mask_len_max(),
+                )
+            return self._step_cache[key]
         ratio = bucket_ratio(ratio, self.seq_len)
         if ratio not in self._step_cache:
             self._step_cache[ratio] = make_sharded_train_step(
@@ -248,6 +291,9 @@ class Trainer:
                 step_fn = self._step_for_ratio(ratio)
                 if self.config.model.get("ext_feature_dim", 0) == 0:
                     batch.pop("feat", None)
+                if self.pad_to_max:
+                    # replicated scalar rides the (pre-sharded) batch dict
+                    batch["mask_ratio"] = jnp.asarray(ratio, jnp.float32)
                 self.state, metrics = step_fn(self.state, batch, rng)
                 step += 1
                 running.append(metrics)

@@ -91,3 +91,129 @@ def test_mask_matches_argsort_reference():
     ref_mask = jnp.take_along_axis(ref_mask, ids_restore, axis=1)
     ours = (ids_restore >= len_keep).astype(jnp.float32)
     np.testing.assert_array_equal(np.asarray(ref_mask), np.asarray(ours))
+
+
+# ---------------------------------------------------------------------------
+# pad-to-max masking (VERDICT r1 weak #7 / SURVEY §7 'hard parts')
+# ---------------------------------------------------------------------------
+
+def test_padded_mask_matches_packed_metadata():
+    from maskdit_tpu.models.masking import (
+        len_keep_for, padded_random_mask, random_mask,
+    )
+
+    rng = jax.random.PRNGKey(3)
+    n, length, ratio, len_max = 4, 16, 0.5, 12
+    packed = random_mask(rng, n, length, ratio)
+    lk = len_keep_for(length, ratio)
+    padded = padded_random_mask(rng, n, length, len_max, jnp.asarray(lk))
+    # same shuffle -> identical mask and restore map; ids_keep prefix agrees
+    np.testing.assert_array_equal(np.asarray(packed.mask), np.asarray(padded.mask))
+    np.testing.assert_array_equal(
+        np.asarray(packed.ids_restore), np.asarray(padded.ids_restore)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(packed.ids_keep), np.asarray(padded.ids_keep[:, :lk])
+    )
+    assert padded.ids_keep.shape == (n, len_max)
+
+
+def test_scatter_tokens_padded_drops_tail():
+    from maskdit_tpu.models.masking import (
+        padded_random_mask, scatter_tokens_padded,
+    )
+
+    rng = jax.random.PRNGKey(4)
+    n, length, len_max, lk = 2, 8, 6, 4
+    info = padded_random_mask(rng, n, length, len_max, jnp.asarray(lk))
+    d = 3
+    x = jnp.arange(n * len_max * d, dtype=jnp.float32).reshape(n, len_max, d)
+    # poison the padded tail; it must never appear in the restored sequence
+    x = x.at[:, lk:, :].set(jnp.nan)
+    mask_token = jnp.full((1, 1, d), -1.0)
+    out = scatter_tokens_padded(x, info.ids_restore, mask_token, info.len_keep)
+    assert out.shape == (n, length, d)
+    assert np.isfinite(np.asarray(out)).all()
+    # masked positions carry the mask token; kept carry encoder tokens
+    mask = np.asarray(info.mask)
+    for b in range(n):
+        for p in range(length):
+            if mask[b, p] == 1.0:
+                np.testing.assert_array_equal(np.asarray(out[b, p]), -1.0)
+
+
+def test_padded_forward_matches_packed_forward():
+    """Padded-tail attention masking must reproduce packed-path numerics."""
+    from maskdit_tpu.models import create_model
+    from maskdit_tpu.models.masking import (
+        len_keep_for, padded_random_mask, random_mask,
+    )
+
+    model = create_model(
+        "edm", img_resolution=8, img_channels=4, num_classes=10,
+        model_type="DiT-S/2", use_decoder=True, mae_loss_coef=0.1,
+        dtype=jnp.float32,
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (2, 4, 8, 8))
+    sigma = jnp.ones((2,))
+    y = jax.nn.one_hot(jnp.array([1, 2]), 10)
+    variables = model.init(
+        {"params": rng, "mask": rng}, x, sigma, y, mask_ratio=0.5, train=True
+    )
+
+    length, ratio = 16, 0.5
+    lk = len_keep_for(length, ratio)
+    mask_rng = jax.random.fold_in(rng, 7)
+    packed_info = random_mask(mask_rng, 2, length, ratio)
+    padded_info = padded_random_mask(
+        mask_rng, 2, length, 14, jnp.asarray(lk)  # len_max 14 > lk 8
+    )
+
+    out_packed = model.apply(
+        variables, x, sigma, y, mask_ratio=0.5, mask_info=packed_info,
+        train=True,
+    )
+    out_padded = model.apply(
+        variables, x, sigma, y, mask_ratio=0.5, mask_info=padded_info,
+        train=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_packed["mask"]), np.asarray(out_padded["mask"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_packed["x"]), np.asarray(out_padded["x"]),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_padded_train_step_single_compile_all_ratios():
+    """One compiled step must serve every schedule ratio (pad_to_max)."""
+    from maskdit_tpu.models import create_model
+    from maskdit_tpu.train.state import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    model = create_model(
+        "edm", img_resolution=8, img_channels=4, num_classes=10,
+        model_type="DiT-S/2", use_decoder=True, mae_loss_coef=0.1,
+        dtype=jnp.float32,
+    )
+    opt = make_optimizer(1e-4, global_batch_size=4)
+    state = create_train_state(model, jax.random.PRNGKey(0), opt, batch_size=2)
+    step = jax.jit(make_train_step(
+        model, opt, mask_ratio=0.5, mae_loss_coef=0.1, log_grad_norm=False,
+        pad_to_max=True,
+    ))
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for ratio in (0.5, 0.375, 0.25, 0.0625):
+        batch = {
+            "x": jax.random.normal(jax.random.fold_in(rng, 0), (4, 8, 8, 8)),
+            "y": jax.nn.one_hot(jnp.arange(4) % 10, 10),
+            "mask_ratio": jnp.asarray(ratio, jnp.float32),
+        }
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses)), losses
+    assert step._cache_size() == 1  # one program serves all ratios

@@ -93,7 +93,7 @@ def test_edm_loss_mask_restriction():
     images = jnp.zeros((n, c, h, w))
     mask = jnp.zeros((n, 16)).at[:, 8:].set(1.0)  # half masked
 
-    def net_apply(xin, sigma, labels, m_ratio, feat, rngs):
+    def net_apply(xin, sigma, labels, m_ratio, feat, rngs, mask_info=None):
         # denoiser that returns the noised input -> error = noise
         return {"x": xin, "mask": mask}
 
@@ -111,7 +111,7 @@ def test_edm_loss_unmasked_path():
     loss_obj = EDMLoss()
     images = jnp.zeros((3, 4, 8, 8))
 
-    def net_apply(xin, sigma, labels, m_ratio, feat, rngs):
+    def net_apply(xin, sigma, labels, m_ratio, feat, rngs, mask_info=None):
         return {"x": xin}  # D = y+n -> error = n -> loss = weight * n^2
 
     loss_vec, aux = loss_obj(

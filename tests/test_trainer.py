@@ -101,3 +101,21 @@ def test_retrieve_n_features(tmp_path):
         4, str(tmp_path / "feats"), dim, k, sample_mode="rand_y", seed=1
     )
     assert (feats_y == feats_y[0]).all()
+
+
+@pytest.mark.slow
+def test_trainer_pad_to_max_single_step_cache(tmp_path):
+    """With train.pad_to_max, a varying mask schedule uses ONE compiled
+    step (VERDICT r1 weak #7)."""
+    from maskdit_tpu.train.trainer import Trainer
+
+    cfg = config_lib.loads(SMOKE_CONFIG)
+    cfg.train.pad_to_max = True
+    cfg.model.mask_ratio_fn = "cosine2"  # ratio varies every step
+    cfg.model.mask_ratio = 0.5
+    cfg.model.mask_ratio_min = 0.1
+    cfg.train.max_num_steps = 4
+
+    trainer = Trainer(cfg, results_dir=str(tmp_path), seed=0, num_workers=1)
+    assert trainer.train() == 4
+    assert list(trainer._step_cache) == ["padded"]
