@@ -213,3 +213,44 @@ def test_registry_variants_forward(name):
     )
     out = model.apply(variables, x, jnp.ones((1,)), jnp.zeros((1, 5)))
     assert out["x"].shape == (1, 4, 16, 16)
+
+
+def test_remat_names_matches_no_remat():
+    """remat='names' must be numerically identical to no remat."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maskdit_tpu.models import create_model
+
+    kw = dict(
+        img_resolution=8, img_channels=4, num_classes=10,
+        model_type="DiT-S/2", use_decoder=True, mae_loss_coef=0.1,
+        dtype=jnp.float32,
+    )
+    base = create_model("edm", **kw)
+    remat = create_model("edm", remat="names", **kw)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (2, 4, 8, 8))
+    sigma = jnp.ones((2,))
+    y = jax.nn.one_hot(jnp.array([3, 4]), 10)
+    variables = base.init(
+        {"params": rng, "mask": rng}, x, sigma, y, mask_ratio=0.5, train=True
+    )
+
+    def loss(model, params):
+        out = model.apply(
+            {"params": params}, x, sigma, y, mask_ratio=0.5, train=True,
+            rngs={"mask": jax.random.fold_in(rng, 2)},
+        )
+        return jnp.sum(out["x"].astype(jnp.float32) ** 2)
+
+    v1, g1 = jax.value_and_grad(lambda p: loss(base, p))(variables["params"])
+    v2, g2 = jax.value_and_grad(lambda p: loss(remat, p))(variables["params"])
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        ),
+        g1, g2,
+    )
