@@ -183,6 +183,17 @@ class MaskDiT(nn.Module):
                     "h_mlp", "fc1_out", "mlp_out",
                 ),
             )
+        elif self.remat == "names_lite":
+            # memory-lean variant: ~4 activations/block kept; backward
+            # re-runs the qkv and fc1 GEMMs (~+15% bwd FLOPs) in exchange
+            # for fitting much larger batches, which amortize the
+            # per-parameter optimizer+EMA tail over more images.
+            block_cls = nn.remat(
+                DiTBlock,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "h_msa", "attn_out", "h_mlp", "mlp_out",
+                ),
+            )
         else:
             block_cls = DiTBlock
         if self.scan_blocks:

@@ -215,8 +215,9 @@ def test_registry_variants_forward(name):
     assert out["x"].shape == (1, 4, 16, 16)
 
 
-def test_remat_names_matches_no_remat():
-    """remat='names' must be numerically identical to no remat."""
+@pytest.mark.parametrize("policy", ["names", "names_lite"])
+def test_remat_names_matches_no_remat(policy):
+    """Named-checkpoint remat must be numerically identical to no remat."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -229,7 +230,7 @@ def test_remat_names_matches_no_remat():
         dtype=jnp.float32,
     )
     base = create_model("edm", **kw)
-    remat = create_model("edm", remat="names", **kw)
+    remat = create_model("edm", remat=policy, **kw)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(jax.random.fold_in(rng, 1), (2, 4, 8, 8))
     sigma = jnp.ones((2,))
