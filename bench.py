@@ -65,6 +65,7 @@ def build(batch: int):
         make_train_step(
             model, opt, mask_ratio=0.5, mae_loss_coef=0.1,
             class_dropout_prob=0.1, log_grad_norm=False,
+            amp_grads=os.environ.get("MASKDIT_BENCH_AMP_GRADS", "0") == "1",
         ),
         donate_argnums=(0,),
     )

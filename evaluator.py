@@ -75,6 +75,10 @@ def main() -> None:
     parser.add_argument("--detector_path", type=str, default=None)
     parser.add_argument("--random_detector", action="store_true")
     parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--save_ref_stats", type=str, default=None,
+                        help="write the reference batch's mu/sigma/mu_s/"
+                        "sigma_s to this npz (ADM read_statistics format) "
+                        "so future runs skip the reference pass")
     args = parser.parse_args()
 
     detector = build_detector(args)
@@ -111,6 +115,13 @@ def main() -> None:
             )
         ref_stats = ev.feature_stats(ref["pool"])
         ref_stats_spatial = ev.feature_stats(ref["spatial"])
+        if args.save_ref_stats:
+            np.savez(
+                args.save_ref_stats,
+                mu=ref_stats[0], sigma=ref_stats[1],
+                mu_s=ref_stats_spatial[0], sigma_s=ref_stats_spatial[1],
+            )
+            print(f"saved reference statistics to {args.save_ref_stats}")
 
     print("Computing evaluations...")
     print("Inception Score:", ev.inception_score(sample["logits"]))

@@ -68,6 +68,7 @@ def _leaf_update_pallas(scalars, g, p, m, v, e, *, b1, b2, eps, with_ema,
     orig_shape = p.shape
     rows = p.size // LANES
     as2d = lambda a: a.reshape(rows, LANES)
+    g = g.astype(jnp.float32)  # AMP-style bf16 grads upcast at the boundary
     g2, p2, m2, v2, e2 = map(as2d, (g, p, m, v, e))
     grid = (pl.cdiv(rows, BLOCK_ROWS),)
     tile = pl.BlockSpec(

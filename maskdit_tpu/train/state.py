@@ -198,6 +198,7 @@ def make_train_step(
     ema_every: int = 1,  # >1 amortizes EMA traffic with decay^k (approx.)
     pad_to_max: bool = False,
     mask_len_max: Optional[int] = None,
+    amp_grads: bool = False,
 ) -> Callable[[TrainState, dict, jax.Array], tuple[TrainState, dict]]:
     """Build the jittable train step.
 
@@ -209,6 +210,14 @@ def make_train_step(
     pads the packed buffer to ``mask_len_max`` tokens (default: the full
     sequence, supporting any schedule) with attention masking on the tail.
     Numerics match the packed-exact path; FLOPs are those of mask_len_max.
+
+    ``amp_grads=True`` differentiates against a bf16 copy of the params, so
+    the materialized gradient tree is bf16 (half the HBM) — the TPU
+    analogue of the reference's fp16-AMP gradients (train.py:48 Accelerate
+    mixed_precision='fp16'; apex FusedAdam consumes half-precision grads
+    against fp32 master weights). Master params/Adam moments/EMA stay
+    fp32; each wgrad is still accumulated in fp32 inside the matmul and
+    rounded once at the output.
     """
     loss_fn = loss_fn or EDMLoss()
     patch_size = int(model.model_type.rsplit("/", 1)[1])
@@ -250,8 +259,13 @@ def make_train_step(
             ).astype(y.dtype)
             y = y * keep
 
+        net_params = (
+            jax.tree.map(lambda p: p.astype(jnp.bfloat16), state.params)
+            if amp_grads else state.params
+        )
+
         if grad_accum == 1:
-            (loss, aux), grads = grad_fn(state.params, x, y, feat, rng_loss, ratio)
+            (loss, aux), grads = grad_fn(net_params, x, y, feat, rng_loss, ratio)
         else:
             micro = x.shape[0] // grad_accum
 
@@ -271,7 +285,7 @@ def make_train_step(
                 else:
                     i, x_i, y_i, f_i = inputs
                 (l, aux_i), g = grad_fn(
-                    state.params, x_i, y_i, f_i,
+                    net_params, x_i, y_i, f_i,
                     jax.random.fold_in(rng_loss, i), ratio,
                 )
                 g_sum = jax.tree.map(jnp.add, g_sum, g)

@@ -280,3 +280,40 @@ def test_ema_every_amortization():
         for a, b in zip(ema0, jax.tree.leaves(state.ema_params))
     )
     assert moved
+
+
+def test_amp_grads_step_close_to_fp32():
+    """amp_grads=True (bf16 gradient tree, the reference's AMP design) must
+    track the fp32-grad step closely and keep fp32 master params."""
+    from maskdit_tpu.models import create_model
+    from maskdit_tpu.train.state import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    model = create_model(
+        "edm", img_resolution=8, img_channels=4, num_classes=10,
+        model_type="DiT-S/2", use_decoder=True, mae_loss_coef=0.1,
+        dtype=jnp.float32,
+    )
+    opt = make_optimizer(1e-4, global_batch_size=4)
+    state0 = create_train_state(model, jax.random.PRNGKey(0), opt, batch_size=2)
+    rng = jax.random.PRNGKey(1)
+    batch = {
+        "x": jax.random.normal(jax.random.fold_in(rng, 0), (4, 8, 8, 8)),
+        "y": jax.nn.one_hot(jnp.arange(4) % 10, 10),
+    }
+    kw = dict(mask_ratio=0.5, mae_loss_coef=0.1, log_grad_norm=False)
+    step_fp32 = jax.jit(make_train_step(model, opt, **kw))
+    step_amp = jax.jit(make_train_step(model, opt, amp_grads=True, **kw))
+
+    s1, m1 = step_fp32(state0, batch, rng)
+    s2, m2 = step_amp(state0, batch, rng)
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-2
+    # master params stay fp32 and the two updates agree to bf16 precision
+    deltas = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params
+    )
+    assert max(jax.tree.leaves(deltas)) < 5e-4, max(jax.tree.leaves(deltas))
+    assert all(
+        p.dtype == jnp.float32 for p in jax.tree.leaves(s2.params)
+    )
