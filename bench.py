@@ -37,7 +37,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def build(batch: int):
+def build(batch: int, grad_accum: int = 1):
     from maskdit_tpu.models import create_model
     from maskdit_tpu.train.state import (
         create_train_state,
@@ -65,6 +65,7 @@ def build(batch: int):
         make_train_step(
             model, opt, mask_ratio=0.5, mae_loss_coef=0.1,
             class_dropout_prob=0.1, log_grad_norm=False,
+            grad_accum=grad_accum,
             amp_grads=os.environ.get("MASKDIT_BENCH_AMP_GRADS", "0") == "1",
         ),
         donate_argnums=(0,),
@@ -94,8 +95,8 @@ def _train_flops_per_image() -> float:
 TRAIN_FLOPS_PER_IMAGE = _train_flops_per_image()  # ~393 GF (XL/2 @256, mask .5)
 
 
-def run(batch: int, warmup: int = 2, iters: int = 10) -> float:
-    state, step, batch_data, rng = build(batch)
+def run(batch: int, grad_accum: int = 1, warmup: int = 2, iters: int = 10) -> float:
+    state, step, batch_data, rng = build(batch, grad_accum)
     for i in range(warmup):
         state, metrics = step(state, batch_data, rng)
     # honest sync: fetch a scalar derived from the full step
@@ -108,7 +109,8 @@ def run(batch: int, warmup: int = 2, iters: int = 10) -> float:
     loss = float(jax.device_get(metrics["loss"]))
     jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / iters
-    log(f"batch={batch}: {dt*1e3:.1f} ms/step, loss={loss:.4f}")
+    log(f"batch={batch} (accum={grad_accum}): {dt*1e3:.1f} ms/step, "
+        f"loss={loss:.4f}")
     if not jnp.isfinite(loss):
         raise RuntimeError(f"non-finite loss {loss}")
     imgs_per_sec = batch / dt
@@ -180,19 +182,23 @@ def main() -> None:
         }))
         return
     imgs_per_sec = None
-    # bs48 measured fastest on v5e: bs64 leaves too little HBM headroom and
-    # XLA compensates with spills (240.6 imgs/s) vs bs48's 244.8
-    ladder = tuple(
-        int(b) for b in os.environ.get(
-            "MASKDIT_BENCH_BATCHES", "48,64,32,16,8"
-        ).split(",")
-    )
-    for batch in ladder:
+    # Ladder entries are "<global_batch>" or "<global_batch>x<grad_accum>".
+    # Gradient accumulation amortizes the ~42 ms per-PARAM Adam+EMA tail
+    # over more images at the measured bs48 microbatch efficiency (the
+    # reference trains at 128/GPU, train.py; accumulation is the same SGD).
+    # Falls back down the ladder on OOM.
+    ladder = []
+    for item in os.environ.get(
+        "MASKDIT_BENCH_BATCHES", "96x2,48,64,32,16,8"
+    ).split(","):
+        b, _, ga = item.partition("x")
+        ladder.append((int(b), int(ga) if ga else 1))
+    for batch, ga in ladder:
         try:
-            imgs_per_sec = run(batch)
+            imgs_per_sec = run(batch, ga)
             break
         except Exception as e:  # OOM fallback ladder
-            log(f"batch={batch} failed: {type(e).__name__}: {e}")
+            log(f"batch={batch}x{ga} failed: {type(e).__name__}: {e}")
             continue
     if imgs_per_sec is None:
         print(json.dumps({
