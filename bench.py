@@ -46,10 +46,16 @@ def build(batch: int, grad_accum: int = 1):
     )
 
     remat = os.environ.get("MASKDIT_BENCH_REMAT", "none")
+    # Accumulating configs run without the packed-attention kernel:
+    # measured 120x4 = 458 ms (XLA) vs 476 ms (kernel) — under accum
+    # memory pressure XLA's own rematerializer needs the freedom a custom
+    # call takes away. Plain configs keep the kernel (bs48: 189.1 vs
+    # 196.5 ms). See STATUS.md for the full sweep.
     model = create_model(
         "edm", img_resolution=32, img_channels=4, num_classes=1000,
         model_type="DiT-XL/2", use_decoder=True, mae_loss_coef=0.1,
         dtype=jnp.bfloat16,
+        use_flash=False if grad_accum > 1 else None,
         remat=False if remat in ("none", "0") else remat,
     )
     # single chip -> params replicated -> fused single-sweep Adam+EMA
@@ -61,12 +67,20 @@ def build(batch: int, grad_accum: int = 1):
         lambda r: create_train_state(model, r, opt, batch_size=1),
         donate_argnums=(),
     )(jax.random.PRNGKey(0))
+    # Accum configs use reference-parity mixed-precision gradients: the
+    # reference trains under Accelerate fp16 AMP (train.py:48) and
+    # accumulates half-precision grads; bf16 has the same mantissa with
+    # fp32's exponent range. EMA stays exact fp32 per-step everywhere.
+    amp_default = "1" if grad_accum > 1 else "0"
     step = jax.jit(
         make_train_step(
             model, opt, mask_ratio=0.5, mae_loss_coef=0.1,
             class_dropout_prob=0.1, log_grad_norm=False,
             grad_accum=grad_accum,
-            amp_grads=os.environ.get("MASKDIT_BENCH_AMP_GRADS", "0") == "1",
+            amp_grads=os.environ.get(
+                "MASKDIT_BENCH_AMP_GRADS", amp_default
+            ) == "1",
+            accum_dtype="bfloat16" if grad_accum > 1 else None,
         ),
         donate_argnums=(0,),
     )
@@ -184,12 +198,15 @@ def main() -> None:
     imgs_per_sec = None
     # Ladder entries are "<global_batch>" or "<global_batch>x<grad_accum>".
     # Gradient accumulation amortizes the ~42 ms per-PARAM Adam+EMA tail
-    # over more images at the measured bs48 microbatch efficiency (the
-    # reference trains at 128/GPU, train.py; accumulation is the same SGD).
+    # over more images at the measured micro-batch-30 efficiency (the
+    # reference trains at 128/GPU, train.py; accumulation is the same
+    # SGD). Measured v5e ladder (exact per-step fp32 EMA everywhere):
+    # 240x8 = 869.1 ms = 276.2 imgs/s, 180x6 = 271.3, 120x4 = 262.1,
+    # 48 plain (packed-attention kernel) = 189.1 ms = 253.9.
     # Falls back down the ladder on OOM.
     ladder = []
     for item in os.environ.get(
-        "MASKDIT_BENCH_BATCHES", "96x2,48,64,32,16,8"
+        "MASKDIT_BENCH_BATCHES", "240x8,180x6,120x4,48,64,32,16,8"
     ).split(","):
         b, _, ga = item.partition("x")
         ladder.append((int(b), int(ga) if ga else 1))

@@ -216,31 +216,40 @@ class Attention(nn.Module):
 
         qkv = checkpoint_name(qkv, "qkv_out")
 
-        def attn_from_qkv(qkv_packed, kv_valid):
-            qkv_r = qkv_packed.reshape(
-                n, l, 3, self.num_heads, hd
-            ).transpose(2, 0, 3, 1, 4)
-            q, k, v = qkv_r[0], qkv_r[1], qkv_r[2]  # each (N, H, L, hd)
-            o = mha(q, k, v, use_flash=self.use_flash, kv_valid=kv_valid)
-            return o.transpose(0, 2, 1, 3).reshape(n, l, d)
+        # timm packs qkv as (3, H, hd) along the out dim (reference
+        # maskdit.py:178), but for the packed_attention kernel we want
+        # (H, hd) contiguous per q/k/v — the Dense above already emits
+        # [q | k | v] along the feature axis in that order, matching
+        # jnp.split inside the kernel wrapper.
+        from maskdit_tpu.ops import flash_batched
 
-        # Recompute attention probs in the backward pass instead of saving
-        # them: autodiff would otherwise keep the fp32 softmax output as a
-        # residual — (N, H, L, L) fp32 per block, ~2.9 GB/step for XL/2 at
-        # bs48 — while recomputing logits+softmax from the (already saved)
-        # qkv buffer costs ~1% of the block's FLOPs. Same trick the flash
-        # kernel's custom VJP uses; this applies it to the XLA path, which
-        # wins at the training sequence lengths (L<=512). Measured on v5e:
-        # frees ~2 GB HBM at bs48 and removes the probs' HBM round-trip.
-        # The flash path already recomputes internally, so it skips the
-        # checkpoint wrapper (wrapping would re-run the kernel in bwd).
-        l_static = qkv.shape[1]
-        flash_on = self.use_flash is True or (
-            self.use_flash is None and kv_valid is None and l_static >= 1024
+        use_kernel = (
+            kv_valid is None
+            and self.use_flash is not False
+            and jax.default_backend() == "tpu"
+            and flash_batched.supports(self.num_heads, l, hd)
         )
-        if flash_on:
-            out = attn_from_qkv(qkv, kv_valid)
+        if use_kernel:
+            # Pallas kernel: (L, L) logits/probs never leave VMEM; the
+            # custom VJP keeps only this qkv buffer as residual and the
+            # bwd kernel recomputes softmax internally.
+            out = flash_batched.packed_attention(
+                qkv, self.num_heads, hd ** -0.5
+            )
         else:
+            def attn_from_qkv(qkv_packed, kv_valid):
+                qkv_r = qkv_packed.reshape(
+                    n, l, 3, self.num_heads, hd
+                ).transpose(2, 0, 3, 1, 4)
+                q, k, v = qkv_r[0], qkv_r[1], qkv_r[2]  # each (N, H, L, hd)
+                o = mha(q, k, v, use_flash=self.use_flash, kv_valid=kv_valid)
+                return o.transpose(0, 2, 1, 3).reshape(n, l, d)
+
+            # Recompute attention in the backward pass instead of saving
+            # its internals: autodiff would otherwise keep the fp32
+            # softmax output — (N, H, L, L) fp32 per block, ~2.9 GB/step
+            # for XL/2 at bs48. With the checkpoint, the only attention
+            # residual is the qkv buffer the named save keeps anyway.
             out = jax.checkpoint(attn_from_qkv)(qkv, kv_valid)
         return nn.Dense(
             d, kernel_init=xavier_uniform, bias_init=zeros_init,

@@ -1,29 +1,27 @@
-"""Batched-head fused attention Pallas kernel for short sequences.
+"""Packed-layout fused attention Pallas kernel for short sequences.
 
-The training shapes of MaskDiT are SHORT: the packed encoder runs L=128
-(256-res, mask 0.5) and the decoder L=256 — tiny attention matrices where
-XLA's generic attention spends ~40 ms/step at bs48 (measured: 196.5 ms
-full XL/2 train step vs 156.6 ms with attention ablated) on fp32 probs
-materialization and elementwise chains, and where the per-(batch, head)
-grid of `maskdit_tpu.ops.flash` drowns in grid overhead (768 one-head
-steps; measured 220.5 ms full step).
+MaskDiT training attention is SHORT: packed encoder L=128 (256-res,
+mask 0.5), decoder L=256. At these shapes XLA's attention region costs
+~40 ms of the 196 ms XL/2 bs48 train step (measured by ablation), and a
+profile splits that cost into two equal halves: the qkv head
+split/transpose/merge copies (~18 ms of `data formatting`) and the
+softmax math itself. A kernel that takes (N, H, L, hd) operands keeps
+paying the first half — so this one consumes the qkv Dense output
+(N, L, 3D) DIRECTLY and emits (N, L, D):
 
-This kernel processes ONE BATCH ITEM per grid step with an unrolled loop
-over all heads, so the whole (H, L, hd) slice rides a single contiguous
-double-buffered DMA and the (L, L) logits/probs never leave VMEM:
+  grid = (N,); per step the whole (L, 3D) slice sits in VMEM and each
+  head is a static 72- or 32-lane slice of it (Mosaic relayouts inside
+  VMEM, no HBM copies); the (L, L) logits/probs never leave VMEM.
 
-  grid = (N,)
-  per step: for h in range(H):  # static unroll
-      s  = q_h k_h^T * scale   (fp32, VMEM scratch)
-      o_h = softmax(s) v_h
-  residuals for bwd: just (q, k, v, o, lse) — flash-style recompute.
-
-VMEM per step at the XL/2 encoder shape (H=16, L=128, hd=72):
-3x0.29 MB (qkv) + 0.29 (o) + logits scratch 64 KB — double-buffers with
-room to spare; L=512 at the 512-res decoder still fits (<6 MB).
+Backward recomputes EVERYTHING from (qkv, dout): softmax, probs, and the
+output o needed for the delta term. The custom VJP therefore keeps only
+the packed qkv as residual — the same buffer the model's named 'qkv_out'
+checkpoint already saves, so attention adds ZERO bwd memory (the fp32
+probs residuals XLA saves are ~2.9 GB/step at bs48).
 
 Reference parity: math identical to timm Attention (reference
-models/maskdit.py:178) — fp32 softmax, bf16 matmuls.
+models/maskdit.py:178) — fp32 softmax, bf16 matmuls (MXU accumulates
+fp32 via preferred_element_type).
 """
 
 from __future__ import annotations
@@ -36,126 +34,161 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
+# VMEM working-set budget: double-buffered qkv/do/dqkv blocks must fit
+# beside per-head fp32 logits scratch on a ~16 MB v5e core.
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, heads: int):
+def _fwd_kernel(qkv_ref, o_ref, ot_ref, *, scale: float, heads: int, d: int):
+    """Transposed-basis attention: ONE tile transpose of the (L, 3D)
+    block per grid step, after which every head is a sublane-aligned ROW
+    slice (72h and 32h are multiples of 8). Measured at bs48 in the full
+    XL/2 step: unaligned LANE slices at head boundaries cost 16 ms of
+    Mosaic relayouts, XLA-side swapaxes around the kernel 4 ms — the
+    in-kernel transpose variant is the fastest of the three (189.4 vs
+    193.9 / 193.2 ms full step)."""
+    hd = d // heads
+    qkvT = qkv_ref[0].T  # (3D, L)
     for h in range(heads):
-        q = q_ref[0, h].astype(jnp.float32)  # (L, hd)
-        k = k_ref[0, h].astype(jnp.float32)
-        v = v_ref[0, h]
+        qT = qkvT[h * hd:(h + 1) * hd, :]                  # (hd, L)
+        kT = qkvT[d + h * hd:d + (h + 1) * hd, :]
+        vT = qkvT[2 * d + h * hd:2 * d + (h + 1) * hd, :]
+        # s_ij = sum_d q_id k_jd  ==  contract the sublane (d) dim
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            qT, kT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (L, L)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            (p / l).astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        pb = (p / l).astype(vT.dtype)
+        # oT_dj = sum_j v_dj p_ij  -> (hd, L)
+        oT = jax.lax.dot_general(
+            vT, pb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        o_ref[0, h] = o.astype(o_ref.dtype)
-        lse_ref[0, h] = (m + jnp.log(l)).reshape(1, -1)
+        ot_ref[h * hd:(h + 1) * hd, :] = oT.astype(ot_ref.dtype)
+    o_ref[0] = ot_ref[:].T  # (L, D), tile transpose back
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale: float, heads: int):
+def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, dt_ref,
+                *, scale: float, heads: int, d: int):
+    hd = d // heads
+    qkvT = qkv_ref[0].T   # (3D, L)
+    doT = do_ref[0].T     # (D, L)
     for h in range(heads):
-        q = q_ref[0, h].astype(jnp.float32)
-        k = k_ref[0, h].astype(jnp.float32)
-        v = v_ref[0, h].astype(jnp.float32)
-        o = o_ref[0, h].astype(jnp.float32)
-        do = do_ref[0, h].astype(jnp.float32)
-        lse = lse_ref[0, h].reshape(-1, 1)  # (L, 1)
+        qT = qkvT[h * hd:(h + 1) * hd, :]
+        kT = qkvT[d + h * hd:d + (h + 1) * hd, :]
+        vT = qkvT[2 * d + h * hd:2 * d + (h + 1) * hd, :]
+        doTh = doT[h * hd:(h + 1) * hd, :]
 
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            qT, kT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        p = jnp.exp(s - lse)  # (L, L) softmax probs, recomputed
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        p = e / l  # (L, L) fp32 probs, recomputed
+        pb = p.astype(vT.dtype)
 
-        dv = jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        # delta_i = sum_d do_di o_di with oT = v p^T recomputed
+        oT = jax.lax.dot_general(
+            vT, pb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        delta = jnp.sum(
+            doTh.astype(jnp.float32) * oT, axis=0, keepdims=True
+        )  # (1, L)
+
+        # dvT = do^T p  -> (hd, L): contract the i dim
+        dvT = jax.lax.dot_general(
+            doTh, pb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # dp_ij = sum_d do_di v_dj
         dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            doTh, vT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (L, 1)
-        ds = p * (dp - delta) * scale
-        dq = jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds = (p * (dp - delta.T) * scale).astype(qT.dtype)  # (L, L)
+        # dqT_di = sum_j k_dj ds_ij ; dkT_dj = sum_i q_di ds_ij
+        dqT = jax.lax.dot_general(
+            kT, ds, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        dk = jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        dkT = jax.lax.dot_general(
+            qT, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        dq_ref[0, h] = dq.astype(dq_ref.dtype)
-        dk_ref[0, h] = dk.astype(dk_ref.dtype)
-        dv_ref[0, h] = dv.astype(dv_ref.dtype)
+        dt_ref[h * hd:(h + 1) * hd, :] = dqT.astype(dt_ref.dtype)
+        dt_ref[d + h * hd:d + (h + 1) * hd, :] = dkT.astype(dt_ref.dtype)
+        dt_ref[2 * d + h * hd:2 * d + (h + 1) * hd, :] = dvT.astype(
+            dt_ref.dtype
+        )
+    dqkv_ref[0] = dt_ref[:].T  # (L, 3D)
 
 
-def _specs(h: int, l: int, d: int):
-    data = pl.BlockSpec(
-        (1, h, l, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    lse = pl.BlockSpec(
-        (1, h, 1, l), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    return data, lse
+def _block(l: int, w: int):
+    return pl.BlockSpec((1, l, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
-    o, _ = _flash_fwd(q, k, v, scale)
-    return o
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def packed_attention(qkv: jax.Array, num_heads: int, scale: float) -> jax.Array:
+    """(N, L, 3D) packed qkv -> (N, L, D) attention output."""
+    out, _ = _packed_fwd(qkv, num_heads, scale)
+    return out
 
 
-def _flash_fwd(q, k, v, scale):
-    n, h, l, d = q.shape
-    data, lse_spec = _specs(h, l, d)
-    o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, heads=h),
+def _packed_fwd(qkv, num_heads, scale):
+    n, l, three_d = qkv.shape
+    d = three_d // 3
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, heads=num_heads, d=d),
         grid=(n,),
-        in_specs=[data, data, data],
-        out_specs=[data, lse_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, h, l, d), q.dtype),
-            jax.ShapeDtypeStruct((n, h, 1, l), jnp.float32),
-        ],
-    )(q, k, v)
-    return o, (q, k, v, o, lse)
+        in_specs=[_block(l, three_d)],
+        out_specs=_block(l, d),
+        out_shape=jax.ShapeDtypeStruct((n, l, d), qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((d, l), qkv.dtype)],
+    )(qkv)
+    return out, qkv
 
 
-def _flash_bwd(scale, residuals, g):
-    q, k, v, o, lse = residuals
-    n, h, l, d = q.shape
-    data, lse_spec = _specs(h, l, d)
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, heads=h),
+def _packed_bwd(num_heads, scale, qkv, g):
+    n, l, three_d = qkv.shape
+    d = three_d // 3
+    dqkv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, heads=num_heads, d=d),
         grid=(n,),
-        in_specs=[data, data, data, data, lse_spec, data],
-        out_specs=[data, data, data],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, h, l, d), q.dtype),
-            jax.ShapeDtypeStruct((n, h, l, d), k.dtype),
-            jax.ShapeDtypeStruct((n, h, l, d), v.dtype),
-        ],
-    )(q, k, v, o, lse, g)
-    return dq, dk, dv
+        in_specs=[_block(l, three_d), _block(l, d)],
+        out_specs=_block(l, three_d),
+        out_shape=jax.ShapeDtypeStruct((n, l, three_d), qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((three_d, l), qkv.dtype)],
+    )(qkv, g.astype(qkv.dtype))
+    return (dqkv,)
 
 
-_flash.defvjp(_flash_fwd, _flash_bwd)
+packed_attention.defvjp(_packed_fwd, _packed_bwd)
 
 
 def supports(h: int, l: int, d: int) -> bool:
-    """One item's heads must fit VMEM alongside logits scratch; L must be
-    lane-aligned for full-L blocks."""
-    if l % LANE != 0 or l > 512:
+    """Lane-aligned L; the double-buffered bwd blocks (qkv + do + dqkv =
+    7D x L bf16) plus fp32 logits scratch must fit VMEM. XL/2: encoder
+    (16, 128, 72) and decoder (16, 256, 32) fit; the 512-res shapes fall
+    back (L=512 encoder needs ~17 MB; L=1024 uses ops/flash.py)."""
+    if l % LANE != 0:
         return False
-    # rough VMEM budget: qkv+o+do blocks (bf16) + fp32 logits, double-buffered
-    bytes_per_item = 6 * h * l * max(d, LANE) * 2 + 4 * l * l
-    return bytes_per_item * 2 < 12 * 1024 * 1024
+    blocks = 2 * 7 * (h * d) * l * 2  # double-buffered bf16 data blocks
+    scratch = 2 * 4 * l * l  # fp32 s and p
+    return blocks + scratch <= _VMEM_BUDGET
 
 
 def flash_mha_batched(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """(N, H, L, hd) fused attention, one batch item per grid step."""
+    """(N, H, L, hd) convenience wrapper: repacks into (N, L, 3D) and runs
+    `packed_attention`. Prefer calling packed_attention from layer code —
+    this wrapper's transposes are exactly the copies the kernel exists to
+    avoid."""
     n, h, l, hd = q.shape
     scale = hd ** -0.5
-    return _flash(q, k, v, scale)
+
+    def pack(x):
+        return x.transpose(0, 2, 1, 3).reshape(n, l, h * hd)
+
+    qkv = jnp.concatenate([pack(q), pack(k), pack(v)], axis=-1)
+    return (
+        packed_attention(qkv, h, scale)
+        .reshape(n, l, h, hd)
+        .transpose(0, 2, 1, 3)
+    )

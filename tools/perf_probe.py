@@ -54,10 +54,14 @@ def build(scan_blocks=False, flash=None):
     from maskdit_tpu.models import create_model
     from maskdit_tpu.train.state import create_train_state, make_optimizer
 
+    remat = os.environ.get("PROBE_REMAT", "none")
+    if os.environ.get("PROBE_FLASH") == "0":
+        flash = False
     model = create_model(
         "edm", img_resolution=32, img_channels=4, num_classes=1000,
         model_type="DiT-XL/2", use_decoder=True, mae_loss_coef=0.1,
         dtype=jnp.bfloat16, scan_blocks=scan_blocks, use_flash=flash,
+        remat=False if remat in ("none", "0") else remat,
     )
     opt = make_optimizer(1e-4, global_batch_size=BATCH, fused="jnp")
     state = jax.jit(
