@@ -143,6 +143,10 @@ class Trainer:
             ext_feature_dim=config.model.get("ext_feature_dim", 0),
             class_dropout_prob=config.model.get("class_dropout_prob", 0.1),
             dtype=jnp.float32 if config.train.get("fp32", False) else jnp.bfloat16,
+            # None = auto (packed Pallas kernel on TPU at supported L);
+            # measured faster plain, slower under grad-accum memory
+            # pressure — see STATUS.md. Set false in accumulating configs.
+            use_flash=config.model.get("use_flash", None),
         )
         # fused single-sweep Adam+EMA whenever params are replicated (any
         # mesh without an fsdp/tensor axis >1); FSDP shards params so the
@@ -237,6 +241,8 @@ class Trainer:
                     grad_accum=self.grad_accum,
                     pad_to_max=True,
                     mask_len_max=self._mask_len_max(),
+                    amp_grads=self.config.train.get("amp_grads", False),
+                    accum_dtype=self.config.train.get("accum_dtype", None),
                 )
             return self._step_cache[key]
         ratio = bucket_ratio(ratio, self.seq_len)
@@ -247,6 +253,8 @@ class Trainer:
                 mae_loss_coef=self.config.model.mae_loss_coef,
                 class_dropout_prob=self.config.model.get("class_dropout_prob", 0.1),
                 grad_accum=self.grad_accum,
+                amp_grads=self.config.train.get("amp_grads", False),
+                accum_dtype=self.config.train.get("accum_dtype", None),
             )
         return self._step_cache[ratio]
 
