@@ -57,8 +57,9 @@ def build(scan_blocks=False, flash=None):
     remat = os.environ.get("PROBE_REMAT", "none")
     if os.environ.get("PROBE_FLASH") == "0":
         flash = False
+    res = int(os.environ.get("PROBE_RES", "32"))  # latent res: 32=256px, 64=512px
     model = create_model(
-        "edm", img_resolution=32, img_channels=4, num_classes=1000,
+        "edm", img_resolution=res, img_channels=4, num_classes=1000,
         model_type="DiT-XL/2", use_decoder=True, mae_loss_coef=0.1,
         dtype=jnp.bfloat16, scan_blocks=scan_blocks, use_flash=flash,
         remat=False if remat in ("none", "0") else remat,
@@ -69,7 +70,7 @@ def build(scan_blocks=False, flash=None):
     )(jax.random.PRNGKey(0))
     rng = jax.random.PRNGKey(1)
     batch = {
-        "x": jax.random.normal(jax.random.fold_in(rng, 0), (BATCH, 8, 32, 32)),
+        "x": jax.random.normal(jax.random.fold_in(rng, 0), (BATCH, 8, res, res)),
         "y": jax.nn.one_hot(
             jax.random.randint(jax.random.fold_in(rng, 1), (BATCH,), 0, 1000),
             1000,
