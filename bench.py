@@ -202,13 +202,13 @@ def main() -> None:
     # accumulation is the same SGD). Micro-batch 28 beats 30/32: the
     # extra HBM headroom lets XLA stop rematerializing inside each
     # micro-step. Measured v5e ladder (exact per-step fp32 EMA
-    # everywhere): 448x16 = 1537.5 ms = 291.4 imgs/s (~58% MFU),
-    # 336x12 = 288.4, 280x10 = 286.1, 224x8 = 282.6, 240x8 (micro30) =
-    # 276.2, 120x4 = 262.1, 48 plain (packed-attention kernel) = 253.9.
+    # everywhere): 672x24 = 2287.2 ms = 293.8 imgs/s (~58.6% MFU),
+    # 448x16 = 291.4, 336x12 = 288.4, 280x10 = 286.1, 224x8 = 282.6,
+    # 120x4 = 262.1, 48 plain (packed-attention kernel) = 253.9.
     # Falls back down the ladder on OOM.
     ladder = []
     for item in os.environ.get(
-        "MASKDIT_BENCH_BATCHES", "448x16,336x12,224x8,120x4,48,64,32,16,8"
+        "MASKDIT_BENCH_BATCHES", "672x24,448x16,336x12,224x8,120x4,48,64,32,16,8"
     ).split(","):
         b, _, ga = item.partition("x")
         ladder.append((int(b), int(ga) if ga else 1))
