@@ -67,10 +67,13 @@ def build(batch: int, grad_accum: int = 1):
         lambda r: create_train_state(model, r, opt, batch_size=1),
         donate_argnums=(),
     )(jax.random.PRNGKey(0))
-    # Accum configs use reference-parity mixed-precision gradients: the
-    # reference trains under Accelerate fp16 AMP (train.py:48) and
-    # accumulates half-precision grads; bf16 has the same mantissa with
-    # fp32's exponent range. EMA stays exact fp32 per-step everywhere.
+    # Accum configs run bf16 grads + a bf16 accumulator. This is a
+    # deliberate, measured approximation BEYOND the reference's AMP
+    # (Accelerate fp16 autocast only affects forward compute; its .grad
+    # buffers accumulate in fp32): bf16 accumulation is what fits the
+    # large accumulated batches beside the fp32 optimizer state, and its
+    # rounding is bounded by tests/test_train.py. Master params, Adam
+    # moments and the per-step EMA stay exact fp32 everywhere.
     amp_default = "1" if grad_accum > 1 else "0"
     step = jax.jit(
         make_train_step(

@@ -213,21 +213,24 @@ def make_train_step(
     Numerics match the packed-exact path; FLOPs are those of mask_len_max.
 
     ``amp_grads=True`` differentiates against a bf16 copy of the params, so
-    the materialized gradient tree is bf16 (half the HBM) — the TPU
-    analogue of the reference's fp16-AMP gradients (train.py:48 Accelerate
-    mixed_precision='fp16'; apex FusedAdam consumes half-precision grads
-    against fp32 master weights). Master params/Adam moments/EMA stay
-    fp32; each wgrad is still accumulated in fp32 inside the matmul and
-    rounded once at the output.
+    the materialized gradient tree is bf16 (half the HBM). Master params /
+    Adam moments / EMA stay fp32; each wgrad is still accumulated in fp32
+    inside the matmul and rounded once at the output. NOTE this goes
+    *beyond* the reference's AMP: torch/Accelerate fp16 autocast
+    (reference train.py:48) only affects forward compute — params and
+    .grad buffers stay fp32 there — so bf16 grads are a measured, tested
+    approximation, not reference parity (update deltas within bf16
+    rounding of the fp32 path, tests/test_train.py::test_amp_grads_*).
 
     ``accum_dtype`` sets the gradient-accumulation buffer dtype for
-    ``grad_accum > 1`` (default: the gradient dtype, i.e. fp32 — exact).
-    'bfloat16' halves the accumulator's HBM footprint, which is what makes
-    large accumulated batches fit next to the 10.8 GB fp32 optimizer state
-    on one v5e. The reference's AMP setup accumulates *fp16* grads across
-    micro-steps (train.py:48 Accelerate mixed_precision='fp16'); bf16 has
-    the same mantissa budget with 8x the exponent range, so this is at
-    least reference-accurate. fp32 remains the default.
+    ``grad_accum > 1`` (default: the gradient dtype, i.e. fp32 — exact,
+    and the reference-parity choice: Accelerate accumulates fp32 .grad
+    buffers across micro-steps). 'bfloat16' halves the accumulator's HBM
+    footprint, which is what makes large accumulated batches fit next to
+    the 10.8 GB fp32 optimizer state on one v5e; it adds rounding the
+    reference lacks (bounded by tests/test_train.py::
+    test_grad_accum_bf16_accumulator_tracks_fp32). The headline bench
+    configs use it deliberately; fp32 remains the default.
     """
     loss_fn = loss_fn or EDMLoss()
     patch_size = int(model.model_type.rsplit("/", 1)[1])

@@ -323,8 +323,10 @@ def test_grad_accum_bf16_accumulator_tracks_fp32():
     """accum_dtype='bfloat16' (the memory-lean accumulation mode that lets
     large accumulated batches fit next to the fp32 optimizer state) must
     produce per-step parameter updates within bf16 rounding of the exact
-    fp32 accumulation path. Reference parity: Accelerate fp16 accumulates
-    half-precision grads across micro-steps (reference train.py:48)."""
+    fp32 accumulation path. This mode is an approximation the reference
+    lacks (Accelerate fp16 autocast affects forward compute only; .grad
+    buffers accumulate fp32, reference train.py:48) — this test bounds
+    the rounding it introduces."""
     from maskdit_tpu.models import create_model
     from maskdit_tpu.train.state import (
         create_train_state,
