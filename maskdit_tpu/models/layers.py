@@ -217,23 +217,31 @@ class Attention(nn.Module):
         qkv = checkpoint_name(qkv, "qkv_out")
 
         # timm packs qkv as (3, H, hd) along the out dim (reference
-        # maskdit.py:178), but for the packed_attention kernel we want
+        # maskdit.py:178), but for the packed_attention kernels we want
         # (H, hd) contiguous per q/k/v — the Dense above already emits
         # [q | k | v] along the feature axis in that order, matching
         # jnp.split inside the kernel wrapper.
-        from maskdit_tpu.ops import flash_batched
+        #
+        # use_flash semantics: None = auto (packed Pallas kernel where a
+        # variant supports the shape, else the mha dispatcher's own
+        # auto rule); True = explicitly request the ops/flash.py
+        # streaming kernel via mha; False = plain jnp path.
+        from maskdit_tpu.ops import flash_batched, flash_big
 
-        use_kernel = (
-            kv_valid is None
-            and self.use_flash is not False
-            and jax.default_backend() == "tpu"
-            and flash_batched.supports(self.num_heads, l, hd)
-        )
-        if use_kernel:
-            # Pallas kernel: (L, L) logits/probs never leave VMEM; the
+        auto = kv_valid is None and self.use_flash is None
+        on_tpu = jax.default_backend() == "tpu"
+        if auto and on_tpu and flash_batched.supports(self.num_heads, l, hd):
+            # whole-(L,3D)-block kernel, the short-sequence winner
+            # (256-res shapes): (L, L) logits/probs never leave VMEM; the
             # custom VJP keeps only this qkv buffer as residual and the
             # bwd kernel recomputes softmax internally.
             out = flash_batched.packed_attention(
+                qkv, self.num_heads, hd ** -0.5
+            )
+        elif auto and on_tpu and flash_big.supports(self.num_heads, l, hd):
+            # head-grouped, query-chunked variant for the 512-res shapes
+            # (encoder L=512, decoder L=1024) — same qkv-only residual.
+            out = flash_big.packed_attention_big(
                 qkv, self.num_heads, hd ** -0.5
             )
         else:

@@ -164,15 +164,22 @@ packed_attention.defvjp(_packed_fwd, _packed_bwd)
 
 
 def supports(h: int, l: int, d: int) -> bool:
-    """Lane-aligned L; the double-buffered bwd blocks (qkv + do + dqkv =
-    7D x L bf16) plus fp32 logits scratch must fit VMEM. XL/2: encoder
-    (16, 128, 72) and decoder (16, 256, 32) fit; the 512-res shapes fall
-    back (L=512 encoder needs ~17 MB; L=1024 uses ops/flash.py)."""
+    """Lane-aligned L; the backward working set must fit VMEM.
+
+    The estimate is conservative (per advisor r2): besides the
+    double-buffered bf16 data blocks (qkv + do + dqkv = 7D x L) it budgets
+    the (3D, L) bf16 dt scratch and four live fp32 (L, L) temporaries
+    (s/p, dp, ds, plus one for Mosaic's own liveness) — the bwd kernel
+    materializes more than just s and p. XL/2: encoder (16, 128, 72) and
+    decoder (16, 256, 32) fit; the 512-res shapes go to ops/flash_big.py
+    (L=512 encoder's blocks alone need ~17 MB here)."""
     if l % LANE != 0:
         return False
-    blocks = 2 * 7 * (h * d) * l * 2  # double-buffered bf16 data blocks
-    scratch = 2 * 4 * l * l  # fp32 s and p
-    return blocks + scratch <= _VMEM_BUDGET
+    hidden = h * d
+    blocks = 2 * 7 * hidden * l * 2  # double-buffered bf16 data blocks
+    dt_scratch = 3 * hidden * l * 2  # (3D, L) bf16 transpose scratch
+    temps = 4 * 4 * l * l            # ~4 live fp32 (L, L) temporaries
+    return blocks + dt_scratch + temps <= _VMEM_BUDGET
 
 
 def flash_mha_batched(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:

@@ -143,10 +143,15 @@ class Trainer:
             ext_feature_dim=config.model.get("ext_feature_dim", 0),
             class_dropout_prob=config.model.get("class_dropout_prob", 0.1),
             dtype=jnp.float32 if config.train.get("fp32", False) else jnp.bfloat16,
-            # None = auto (packed Pallas kernel on TPU at supported L);
-            # measured faster plain, slower under grad-accum memory
-            # pressure — see STATUS.md. Set false in accumulating configs.
-            use_flash=config.model.get("use_flash", None),
+            # None = auto (packed Pallas kernel on TPU at supported L).
+            # Measured at 256-res: the kernel wins plain steps but LOSES
+            # under grad-accum memory pressure (120x4: 476 vs 458 ms;
+            # 672x24: 2462 vs 2287 ms — STATUS.md), so when the config
+            # accumulates and doesn't say otherwise, default it off —
+            # mirroring bench.py. An explicit model.use_flash wins.
+            use_flash=config.model.get(
+                "use_flash", False if self.grad_accum > 1 else None
+            ),
         )
         # fused single-sweep Adam+EMA whenever params are replicated (any
         # mesh without an fsdp/tensor axis >1); FSDP shards params so the

@@ -168,3 +168,84 @@ def test_attention_layer_kernel_path_matches_jnp(monkeypatch):
     gj = jax.grad(lambda p: loss(attn_j, p, x))(params)
     for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gj)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# blocked big-shape kernel (ops/flash_big.py)
+# ---------------------------------------------------------------------------
+
+def _pack_qkv(q, k, v):
+    n, h, l, hd = q.shape
+
+    def pack(x):
+        return x.transpose(0, 2, 1, 3).reshape(n, l, h * hd)
+
+    return jnp.concatenate([pack(q), pack(k), pack(v)], axis=-1)
+
+
+def _unpack_o(o, h):
+    n, l, d = o.shape
+    return o.reshape(n, l, h, d // h).transpose(0, 2, 1, 3)
+
+
+@pytest.mark.parametrize(
+    "h,l,hd",
+    [
+        (4, 512, 72),   # encoder-512 shape family (grouped heads)
+        (4, 1024, 32),  # decoder-1024 shape family (q-chunked)
+        (2, 512, 8),    # minimal head_dim
+    ],
+)
+def test_flash_big_forward_matches_reference(h, l, hd):
+    from maskdit_tpu.ops import flash_big
+
+    assert flash_big.supports(h, l, hd)
+    n = 1
+    rng = jax.random.PRNGKey(0)
+    q, k, v = (
+        0.3 * jax.random.normal(jax.random.fold_in(rng, i), (n, h, l, hd))
+        for i in range(3)
+    )
+    qkv = _pack_qkv(q, k, v)
+    out = flash_big.packed_attention_big(qkv, h, hd ** -0.5)
+    ref = mha_reference(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(_unpack_o(out, h)), np.asarray(ref), atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("h,l,hd", [(2, 512, 72), (2, 1024, 32)])
+def test_flash_big_backward_matches_reference(h, l, hd):
+    from maskdit_tpu.ops import flash_big
+
+    n = 1
+    rng = jax.random.PRNGKey(1)
+    q, k, v = (
+        0.3 * jax.random.normal(jax.random.fold_in(rng, i), (n, h, l, hd))
+        for i in range(3)
+    )
+    qkv = _pack_qkv(q, k, v)
+    scale = hd ** -0.5
+
+    def loss_big(qkv):
+        return jnp.sum(jnp.sin(flash_big.packed_attention_big(qkv, h, scale)))
+
+    def loss_ref(qkv):
+        qr = qkv.reshape(n, l, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        o = mha_reference(qr[0], qr[1], qr[2])
+        return jnp.sum(jnp.sin(o.transpose(0, 2, 1, 3).reshape(n, l, h * hd)))
+
+    g_big = jax.grad(loss_big)(qkv)
+    g_ref = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g_big), np.asarray(g_ref), atol=5e-5)
+
+
+def test_flash_big_supports_window():
+    from maskdit_tpu.ops import flash_big
+
+    assert flash_big.supports(16, 512, 72)    # XL/2 encoder @512, mask 0.5
+    assert flash_big.supports(16, 1024, 32)   # XL/2 decoder @512
+    assert flash_big.supports(16, 1024, 72)   # XL/2 encoder, unmasked 512
+    assert not flash_big.supports(16, 128, 72)   # short L: flash_batched's job
+    assert not flash_big.supports(16, 640, 72)   # L not a multiple of 256
+    assert not flash_big.supports(16, 512, 12)   # head_dim not 8-aligned
