@@ -4,9 +4,21 @@ The reference's 512-res pipeline stores latents as WebDataset tar shards
 with members ``{key}.latent`` (pickled numpy array) and ``{key}.cls``
 (int text) (reference: lmdb2wds.py:20-26, train_wds.py:54-64).
 
-Unlike the reference's streaming reader, shards are *indexed* once at open
-(tar headers only) giving random access — so the same map-style DataLoader
-(shuffle, rank-striding, deterministic epochs) serves LMDB and WDS data.
+Two read modes:
+
+* ``WebDatasetLatents`` — *indexed random access*: shards are indexed once
+  at open (tar headers only), then records are fetched with per-record
+  seeks, so the same map-style DataLoader (shuffle, rank-striding,
+  deterministic epochs) serves LMDB and WDS data. IO constraint: this is
+  the right mode for local SSD/NVMe; on network storage, random seeks
+  into hundreds of shards per host defeat readahead and are slow.
+* ``iterate_rank_shards`` — *shard-sequential streaming*: whole shards
+  are assigned per rank (the reference's nodesplitter split-by-shard,
+  train_wds.py:35-42) and each worker reads its shards linearly with a
+  bounded shuffle buffer (the reference's ``.shuffle(1000)``). This is
+  the mode that survives network filesystems / object stores; epochs are
+  only approximately shuffled, exactly like the reference's pipeline.
+
 ``write_wds_shards`` produces shards byte-compatible with webdataset's
 ShardWriter consumers.
 """
@@ -48,11 +60,7 @@ class WebDatasetLatents(Dataset):
         label_dim: int = 1000,
         **view_kwargs,
     ):
-        self._shards = sorted(
-            os.path.join(root, f) for f in os.listdir(root) if f.endswith(".tar")
-        )
-        if not self._shards:
-            raise IOError(f"no .tar shards found in {root}")
+        self._shards = list_shards(root)
         # global index: (shard_idx, latent_off, latent_sz, cls_off, cls_sz)
         self._index: list[tuple[int, int, int, int, int]] = []
         for si, shard in enumerate(self._shards):
@@ -133,6 +141,60 @@ def write_wds_shards(
         count += 1
     close_shard()
     return paths
+
+
+def list_shards(root: str) -> list[str]:
+    """Sorted .tar shard paths under a directory."""
+    shards = sorted(
+        os.path.join(root, f) for f in os.listdir(root) if f.endswith(".tar")
+    )
+    if not shards:
+        raise IOError(f"no .tar shards found in {root}")
+    return shards
+
+
+def iterate_rank_shards(
+    root: str,
+    process_index: int = 0,
+    process_count: int = 1,
+    epoch: int = 0,
+    seed: int = 0,
+    shuffle_buffer: int = 1000,
+) -> Iterator[tuple[np.ndarray, int]]:
+    """Shard-sequential streaming iterator for one rank.
+
+    Mirrors the reference's multi-node WDS pipeline: *shards* (not
+    records) are split across ranks (train_wds.py:35-42 nodesplitter) so
+    every worker reads its tar files strictly linearly — the IO pattern
+    network storage needs — with per-epoch shard-order shuffling and a
+    bounded in-memory shuffle buffer (train_wds.py:67-97 .shuffle(1000)).
+
+    Yields (latent float32, int label). Ranks with no shard this epoch
+    (more ranks than shards) yield nothing — size the shard count to the
+    fleet, as the reference requires.
+    """
+    shards = list_shards(root)
+    rng = np.random.RandomState(seed + epoch)
+    order = rng.permutation(len(shards))
+    mine = [shards[i] for i in order[process_index::process_count]]
+
+    def records() -> Iterator[tuple[np.ndarray, int]]:
+        for _, latent, cls in iterate_samples(mine):
+            yield np.asarray(latent, dtype=np.float32), int(cls)
+
+    if shuffle_buffer <= 1:
+        yield from records()
+        return
+    buf: list[tuple[np.ndarray, int]] = []
+    for item in records():
+        if len(buf) < shuffle_buffer:
+            buf.append(item)
+            continue
+        j = rng.randint(len(buf))
+        buf[j], item = item, buf[j]
+        yield item
+    rng.shuffle(buf)
+    yield from buf
 
 
 def iterate_samples(shard_paths: list[str]) -> Iterator[tuple[str, np.ndarray, int]]:

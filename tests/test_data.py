@@ -166,6 +166,55 @@ def test_wds_roundtrip(tmp_path):
     assert streamed[3][2] == records[3][2]
 
 
+def test_wds_rank_shard_iterator_coverage(tmp_path):
+    """Shard-sequential mode: shards split per rank (reference
+    train_wds.py:35-42), every record seen exactly once per epoch across
+    the fleet, different epochs visit shards in different orders."""
+    from maskdit_tpu.data.wds import iterate_rank_shards, write_wds_shards
+
+    rng = np.random.RandomState(4)
+    records = [
+        (f"{i:07d}", np.full((2, 2, 2), float(i), np.float32), i % 7)
+        for i in range(40)
+    ]
+    outdir = str(tmp_path / "wds")
+    write_wds_shards(records, outdir, maxcount=10)  # 4 shards x 10
+
+    world = 2
+    seen: list[int] = []
+    per_rank: list[list[int]] = []
+    for rank in range(world):
+        got = [
+            int(z[0, 0, 0])
+            for z, y in iterate_rank_shards(
+                outdir, rank, world, epoch=0, seed=5, shuffle_buffer=8
+            )
+        ]
+        per_rank.append(got)
+        seen.extend(got)
+    assert len(per_rank[0]) == len(per_rank[1]) == 20  # 2 shards each
+    assert sorted(seen) == list(range(40))  # exact coverage, no overlap
+
+    # labels ride along correctly
+    pair = next(iter(iterate_rank_shards(outdir, 0, 2, shuffle_buffer=1)))
+    assert pair[1] == int(pair[0][0, 0, 0]) % 7
+
+    # epoch changes the shard assignment/order
+    e1 = [
+        int(z[0, 0, 0])
+        for z, _ in iterate_rank_shards(outdir, 0, world, epoch=1, seed=5,
+                                        shuffle_buffer=8)
+    ]
+    assert e1 != per_rank[0]
+
+    # more ranks than shards: extra ranks legitimately idle
+    counts = [
+        sum(1 for _ in iterate_rank_shards(outdir, r, 8, epoch=0))
+        for r in range(8)
+    ]
+    assert sum(counts) == 40 and counts.count(0) == 4
+
+
 def test_image_lmdb_cache(tmp_path):
     """imagenet_lmdb_dataset builds a byte cache and reads through it."""
     from maskdit_tpu.data.datasets import imagenet_lmdb_dataset
