@@ -189,13 +189,171 @@ def run_sampling_sweep(num_steps: int = 40) -> float:
     return best
 
 
+def run_sampling_e2e(batch: int = 128, num_steps: int = 40) -> float:
+    """End-to-end sampling: EDM scan -> VAE decode -> uint8 on host.
+
+    Mirrors the full reference generate_with_net path (sample.py:230-296)
+    minus PNG encoding, using the decode/IO overlap from
+    sampling/generate.py: batch i's host fetch + uint8 conversion runs
+    while batch i+1's sampling+decode is already enqueued on device. A
+    random-weight SD-VAE stands in for the real decoder (decode cost is
+    weight-independent; real weights are a blocked network asset).
+    """
+    import numpy as np
+
+    from maskdit_tpu.models import create_model
+    from maskdit_tpu.models.vae import AutoencoderKL
+    from maskdit_tpu.sampling.generate import (
+        SamplerConfig,
+        make_sample_fn,
+        to_uint8,
+    )
+
+    model = create_model(
+        "edm", img_resolution=32, img_channels=4, num_classes=1000,
+        model_type="DiT-XL/2", use_decoder=True, mae_loss_coef=0.1,
+        dtype=jnp.bfloat16,
+    )
+    variables = jax.jit(
+        lambda r: model.init(
+            {"params": r}, jnp.zeros((1, 4, 32, 32)), jnp.ones((1,)),
+            jnp.zeros((1, 1000)),
+        )
+    )(jax.random.PRNGKey(0))
+    fn = make_sample_fn(
+        model, variables["params"],
+        SamplerConfig(num_steps=num_steps, cfg_scale=1.5),
+    )
+    vae = AutoencoderKL()
+    vae_params = jax.jit(
+        lambda r: vae.init(r, jnp.zeros((1, 3, 32, 32)), jax.random.PRNGKey(1))
+    )(jax.random.PRNGKey(2))["params"]
+    decode = jax.jit(
+        lambda p, z: vae.apply({"params": p}, z, method="decode")
+    )
+
+    latents = jax.random.normal(jax.random.PRNGKey(1), (batch, 4, 32, 32))
+    labels = jax.nn.one_hot(jnp.arange(batch) % 1000, 1000)
+    rng = jax.random.PRNGKey(2)
+
+    def one_batch():
+        z = fn(latents, labels, rng)
+        return decode(vae_params, z)
+
+    img = to_uint8(np.asarray(one_batch()))  # warm both compiles + path
+    assert img.shape == (batch, 256, 256, 3) and img.dtype == np.uint8
+
+    iters = 3
+    t0 = time.perf_counter()
+    pending = one_batch()
+    for _ in range(iters - 1):
+        nxt = one_batch()  # enqueued before the previous batch is fetched
+        img = to_uint8(np.asarray(pending))  # host fetch + uint8 overlap
+        pending = nxt
+    img = to_uint8(np.asarray(pending))
+    dt = (time.perf_counter() - t0) / iters
+    log(f"e2e sampling batch={batch}: {dt*1e3:.0f} ms/batch "
+        f"-> {batch/dt:.2f} imgs/s (decode+uint8 included)")
+    return batch / dt
+
+
+# 512-res ladder: measured on v5e r3 with the flash_big packed-attention
+# kernel (ops/flash_big.py) — see STATUS.md "512-res training (round 3)".
+BASELINE_512_IMGS_PER_SEC = 56.4  # ~210 A100-days / 1M steps @ 1024 (README.md:29)
+
+
+def run_512(batch: int, grad_accum: int = 1, iters: int = 5) -> float:
+    """512-res training throughput (XL/2, 64x64 latents, mask 0.5)."""
+    os.environ.setdefault("PROBE_RES", "64")
+    from maskdit_tpu.models import create_model
+    from maskdit_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from maskdit_tpu.utils.profiling import maskdit_train_flops_per_image
+
+    model = create_model(
+        "edm", img_resolution=64, img_channels=4, num_classes=1000,
+        model_type="DiT-XL/2", use_decoder=True, mae_loss_coef=0.1,
+        dtype=jnp.bfloat16,
+    )
+    opt = make_optimizer(1e-4, global_batch_size=batch, fused="jnp")
+    state = jax.jit(
+        lambda r: create_train_state(model, r, opt, batch_size=1)
+    )(jax.random.PRNGKey(0))
+    step = jax.jit(
+        make_train_step(
+            model, opt, mask_ratio=0.5, mae_loss_coef=0.1,
+            class_dropout_prob=0.1, log_grad_norm=False,
+            grad_accum=grad_accum,
+            amp_grads=grad_accum > 1,
+            accum_dtype="bfloat16" if grad_accum > 1 else None,
+        ),
+        donate_argnums=(0,),
+    )
+    rng = jax.random.PRNGKey(1)
+    batch_data = {
+        "x": jax.random.normal(jax.random.fold_in(rng, 0), (batch, 8, 64, 64)),
+        "y": jax.nn.one_hot(
+            jax.random.randint(jax.random.fold_in(rng, 1), (batch,), 0, 1000),
+            1000,
+        ),
+    }
+    for _ in range(2):
+        state, metrics = step(state, batch_data, rng)
+    float(jax.device_get(metrics["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch_data, rng)
+    loss = float(jax.device_get(metrics["loss"]))
+    dt = (time.perf_counter() - t0) / iters
+    log(f"512-res batch={batch}x{grad_accum}: {dt*1e3:.1f} ms/step, "
+        f"loss={loss:.4f}")
+    if not jnp.isfinite(loss):
+        raise RuntimeError(f"non-finite loss {loss}")
+    imgs = batch / dt
+    flops = maskdit_train_flops_per_image("DiT-XL/2", 64, 0.5, True)
+    tflops = imgs * flops / 1e12
+    log(f"implied compute: {tflops:.1f} TFLOP/s (peak {V5E_PEAK_TFLOPS})")
+    if tflops > V5E_PEAK_TFLOPS:
+        raise RuntimeError("timing invalid (exceeds chip peak)")
+    return imgs
+
+
 def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--mode" and sys.argv[2] == "sample":
+    mode = sys.argv[2] if len(sys.argv) > 2 and sys.argv[1] == "--mode" else None
+    if mode == "sample":
         rate = run_sampling_sweep()
+        e2e = 0.0
+        try:
+            e2e = run_sampling_e2e(batch=128)
+        except Exception as e:
+            log(f"e2e sampling failed: {type(e).__name__}: {e}")
+        log(f"sampler-only best: {rate:.2f} imgs/s; end-to-end: {e2e:.2f}")
         print(json.dumps({
             "metric": "maskdit_xl2_cfg40_sampling_images_per_sec",
             "value": round(rate, 3), "unit": "images/sec/chip",
             "vs_baseline": 0.0,  # the reference publishes no sampling rate
+            "e2e_with_decode": round(e2e, 3),
+        }))
+        return
+    if mode == "train512":
+        rate = None
+        for item in os.environ.get(
+            "MASKDIT_BENCH_512", "224x16,112x8,64x8,16,8"
+        ).split(","):
+            b, _, ga = item.partition("x")
+            try:
+                rate = run_512(int(b), int(ga) if ga else 1)
+                break
+            except Exception as e:
+                log(f"512 {item} failed: {type(e).__name__}: {e}")
+                continue
+        print(json.dumps({
+            "metric": "maskdit_xl2_train512_images_per_sec",
+            "value": round(rate or 0.0, 2), "unit": "images/sec/chip",
+            "vs_baseline": round((rate or 0.0) / BASELINE_512_IMGS_PER_SEC, 4),
         }))
         return
     imgs_per_sec = None

@@ -175,14 +175,23 @@ def main():
                 ga = int(os.environ.get("PROBE_GA", "1"))
                 amp = os.environ.get("PROBE_AMP", "0") == "1"
                 acc = os.environ.get("PROBE_ACC") or None
+                # PROBE_PAD=1: pad-to-max masking (one compiled step for
+                # every mask ratio; ratio rides the batch as a scalar)
+                pad = os.environ.get("PROBE_PAD", "0") == "1"
                 step = jax.jit(
                     make_train_step(
                         model, opt, mask_ratio=0.5, mae_loss_coef=0.1,
                         class_dropout_prob=0.1, log_grad_norm=False,
                         grad_accum=ga, amp_grads=amp, accum_dtype=acc,
+                        pad_to_max=pad,
                     ),
                     donate_argnums=(0,),
                 )
+                if pad:
+                    batch = dict(batch)
+                    batch["mask_ratio"] = jnp.asarray(
+                        float(os.environ.get("PROBE_RATIO", "0.5"))
+                    )
                 st = state
                 t0 = time.perf_counter()
                 st, m = step(st, batch, rng)
