@@ -189,7 +189,9 @@ def run_sampling_sweep(num_steps: int = 40) -> float:
     return best
 
 
-def run_sampling_e2e(batch: int = 128, num_steps: int = 40) -> float:
+def run_sampling_e2e(
+    batch: int = 128, num_steps: int = 40, dec_chunk: int = 32
+) -> float:
     """End-to-end sampling: EDM scan -> VAE decode -> uint8 on host.
 
     Mirrors the full reference generate_with_net path (sample.py:230-296)
@@ -198,6 +200,11 @@ def run_sampling_e2e(batch: int = 128, num_steps: int = 40) -> float:
     while batch i+1's sampling+decode is already enqueued on device. A
     random-weight SD-VAE stands in for the real decoder (decode cost is
     weight-independent; real weights are a blocked network asset).
+
+    The decode runs in ``dec_chunk``-image chunks: a whole-128 decode
+    blows HBM (the 256x256 conv activations dwarf the latents), exactly
+    why the reference caps its decode batches and halves on OOM
+    (sample.py:273-279, max_batch 50/GPU).
     """
     import numpy as np
 
@@ -238,9 +245,14 @@ def run_sampling_e2e(batch: int = 128, num_steps: int = 40) -> float:
 
     def one_batch():
         z = fn(latents, labels, rng)
-        return decode(vae_params, z)
+        # chunked decode: every chunk is enqueued async; fetch happens in
+        # fetch_uint8 while the NEXT batch's device work is already queued
+        return [decode(vae_params, zc) for zc in jnp.split(z, batch // dec_chunk)]
 
-    img = to_uint8(np.asarray(one_batch()))  # warm both compiles + path
+    def fetch_uint8(chunks):
+        return to_uint8(np.concatenate([np.asarray(c) for c in chunks]))
+
+    img = fetch_uint8(one_batch())  # warm both compiles + path
     assert img.shape == (batch, 256, 256, 3) and img.dtype == np.uint8
 
     iters = 3
@@ -248,9 +260,9 @@ def run_sampling_e2e(batch: int = 128, num_steps: int = 40) -> float:
     pending = one_batch()
     for _ in range(iters - 1):
         nxt = one_batch()  # enqueued before the previous batch is fetched
-        img = to_uint8(np.asarray(pending))  # host fetch + uint8 overlap
+        img = fetch_uint8(pending)  # host fetch + uint8 overlap
         pending = nxt
-    img = to_uint8(np.asarray(pending))
+    img = fetch_uint8(pending)
     dt = (time.perf_counter() - t0) / iters
     log(f"e2e sampling batch={batch}: {dt*1e3:.0f} ms/batch "
         f"-> {batch/dt:.2f} imgs/s (decode+uint8 included)")
@@ -341,7 +353,7 @@ def main() -> None:
     if mode == "train512":
         rate = None
         for item in os.environ.get(
-            "MASKDIT_BENCH_512", "224x16,112x8,64x8,16,8"
+            "MASKDIT_BENCH_512", "448x32,224x16,112x8,64x8,16,8"
         ).split(","):
             b, _, ga = item.partition("x")
             try:
