@@ -84,6 +84,8 @@ def build(batch: int, grad_accum: int = 1):
                 "MASKDIT_BENCH_AMP_GRADS", amp_default
             ) == "1",
             accum_dtype="bfloat16" if grad_accum > 1 else None,
+            accum_unroll=int(os.environ.get("MASKDIT_BENCH_UNROLL", "1")),
+            peel_last_micro=os.environ.get("MASKDIT_BENCH_PEEL", "0") == "1",
         ),
         donate_argnums=(0,),
     )
@@ -140,19 +142,23 @@ def run(batch: int, grad_accum: int = 1, warmup: int = 2, iters: int = 10) -> fl
     return imgs_per_sec
 
 
-def run_sampling(batch: int = 50, num_steps: int = 40) -> float:
-    """Secondary benchmark (--mode sample): EDM sampling throughput."""
+def run_sampling(batch: int = 50, num_steps: int = 40, res: int = 32) -> float:
+    """Secondary benchmark (--mode sample): EDM sampling throughput.
+
+    ``res`` is the latent resolution (32 = 256px, 64 = 512px; at 512-res
+    inference the unmasked encoder runs L=1024 where the blocked
+    flash_big kernel dispatches automatically)."""
     from maskdit_tpu.models import create_model
     from maskdit_tpu.sampling.generate import SamplerConfig, make_sample_fn
 
     model = create_model(
-        "edm", img_resolution=32, img_channels=4, num_classes=1000,
+        "edm", img_resolution=res, img_channels=4, num_classes=1000,
         model_type="DiT-XL/2", use_decoder=True, mae_loss_coef=0.1,
         dtype=jnp.bfloat16,
     )
     variables = jax.jit(
         lambda r: model.init(
-            {"params": r}, jnp.zeros((1, 4, 32, 32)), jnp.ones((1,)),
+            {"params": r}, jnp.zeros((1, 4, res, res)), jnp.ones((1,)),
             jnp.zeros((1, 1000)),
         )
     )(jax.random.PRNGKey(0))
@@ -160,7 +166,7 @@ def run_sampling(batch: int = 50, num_steps: int = 40) -> float:
         model, variables["params"],
         SamplerConfig(num_steps=num_steps, cfg_scale=1.5),
     )
-    latents = jax.random.normal(jax.random.PRNGKey(1), (batch, 4, 32, 32))
+    latents = jax.random.normal(jax.random.PRNGKey(1), (batch, 4, res, res))
     labels = jax.nn.one_hot(jnp.arange(batch) % 1000, 1000)
     rng = jax.random.PRNGKey(2)
     z = fn(latents, labels, rng)
@@ -176,13 +182,14 @@ def run_sampling(batch: int = 50, num_steps: int = 40) -> float:
     return batch / dt
 
 
-def run_sampling_sweep(num_steps: int = 40) -> float:
+def run_sampling_sweep(num_steps: int = 40, res: int = 32) -> float:
     """Best sampling throughput over a batch ladder (reference caps at 50
     per GPU, train.py:317; one v5e chip holds larger CFG double-batches)."""
     best = 0.0
-    for batch in (50, 64, 96, 128):
+    ladder = (50, 64, 96, 128) if res <= 32 else (16, 32, 48)
+    for batch in ladder:
         try:
-            best = max(best, run_sampling(batch, num_steps))
+            best = max(best, run_sampling(batch, num_steps, res))
         except Exception as e:
             log(f"sampling batch={batch} failed: {type(e).__name__}: {e}")
             break
@@ -350,6 +357,14 @@ def main() -> None:
             "e2e_with_decode": round(e2e, 3),
         }))
         return
+    if mode == "sample512":
+        rate = run_sampling_sweep(res=64)
+        print(json.dumps({
+            "metric": "maskdit_xl2_cfg40_sampling512_images_per_sec",
+            "value": round(rate, 3), "unit": "images/sec/chip",
+            "vs_baseline": 0.0,  # the reference publishes no sampling rate
+        }))
+        return
     if mode == "train512":
         rate = None
         for item in os.environ.get(
@@ -375,13 +390,17 @@ def main() -> None:
     # accumulation is the same SGD). Micro-batch 28 beats 30/32: the
     # extra HBM headroom lets XLA stop rematerializing inside each
     # micro-step. Measured v5e ladder (exact per-step fp32 EMA
-    # everywhere): 672x24 = 2287.2 ms = 293.8 imgs/s (~58.6% MFU),
-    # 448x16 = 291.4, 336x12 = 288.4, 280x10 = 286.1, 224x8 = 282.6,
-    # 120x4 = 262.1, 48 plain (packed-attention kernel) = 253.9.
-    # Falls back down the ladder on OOM.
+    # everywhere): 1344x48 = 4551.2 ms = 295.3 imgs/s (~58.9% MFU, r3),
+    # 672x24 = 2287.2 ms = 293.8, 560x20 = 290.9, 448x16 = 291.4,
+    # 336x12 = 288.4, 280x10 = 286.1, 224x8 = 282.6, 120x4 = 262.1,
+    # 48 plain (packed-attention kernel) = 253.9.
+    # Falls back down the ladder on OOM. See STATUS.md round-3 for the
+    # experiments that did NOT move it (kernel-under-accum, accum_unroll
+    # and peel_last_micro both crash this box's remote compiler).
     ladder = []
     for item in os.environ.get(
-        "MASKDIT_BENCH_BATCHES", "672x24,448x16,336x12,224x8,120x4,48,64,32,16,8"
+        "MASKDIT_BENCH_BATCHES",
+        "1344x48,672x24,448x16,336x12,224x8,120x4,48,64,32,16,8",
     ).split(","):
         b, _, ga = item.partition("x")
         ladder.append((int(b), int(ga) if ga else 1))

