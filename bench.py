@@ -395,8 +395,8 @@ def main() -> None:
     # 336x12 = 288.4, 280x10 = 286.1, 224x8 = 282.6, 120x4 = 262.1,
     # 48 plain (packed-attention kernel) = 253.9.
     # Falls back down the ladder on OOM. See STATUS.md round-3 for the
-    # experiments that did NOT move it (kernel-under-accum, accum_unroll
-    # and peel_last_micro both crash this box's remote compiler).
+    # experiments that did NOT move it (kernel-under-accum; accum_unroll
+    # and peel_last_micro compile-OOM at these micro sizes on 16 GB v5e).
     ladder = []
     for item in os.environ.get(
         "MASKDIT_BENCH_BATCHES",

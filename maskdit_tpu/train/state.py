@@ -249,10 +249,11 @@ def make_train_step(
     proportionally larger compiled body. Numerics: unchanged up to fp
     re-association inside one carry round (exactly the reordering a
     tree-reduce would give). grad_accum must be divisible by it.
-    NOTE: this box's remote TPU compiler crashes on unrolled accumulation
-    bodies (HTTP 500 tpu_compile_helper, measured at unroll=2 even for
-    ga=4) — an environment bug like remat='dots'; the knob is valid on
-    standard TPU stacks.
+    MEMORY: the unrolled round keeps both duplicated bodies' activation
+    liveness simultaneously — measured on 16 GB v5e at XL/2 @256,
+    unroll=2 OOMs by ~3.0 GB even at micro-30 (the compile-time OOM is
+    surfaced as an opaque HTTP 500 by this box's remote-compile tunnel).
+    Usable at smaller micros or on larger-HBM parts.
 
     ``peel_last_micro`` computes the LAST micro-batch's gradients outside
     the accumulation scan. Inside a scan, every leaf's total gradient
@@ -260,7 +261,13 @@ def make_train_step(
     for all of bwd; peeled, leaf L's update depends on scan-carry[L] +
     the last micro's wgrad[L], which completes partway through the last
     backward — XLA may overlap the ~52 ms Adam+EMA stream with the tail
-    of that bwd. Numerics identical (same adds, same order).
+    of that bwd. Numerics identical (same adds, same order). MEMORY: the
+    peeled micro's bwd cannot share buffers with the scan body, so its
+    whole gradient tree + activations add to the bwd/optimizer-boundary
+    peak — measured +3.4-3.8 GB over budget at micro-28/30 on v5e
+    (OOM, also surfaced as HTTP 500). Only viable at small micros,
+    where the accumulation ladder already loses — kept for parts with
+    more HBM headroom.
     """
     loss_fn = loss_fn or EDMLoss()
     patch_size = int(model.model_type.rsplit("/", 1)[1])
