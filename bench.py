@@ -51,18 +51,35 @@ def build(batch: int, grad_accum: int = 1):
     # memory pressure XLA's own rematerializer needs the freedom a custom
     # call takes away. Plain configs keep the kernel (bs48: 189.1 vs
     # 196.5 ms). See STATUS.md for the full sweep.
+    # MASKDIT_BENCH_FLASH=1 forces the packed kernel even under accum
+    # (for probes; measured slower at the fp32-state memory wall)
+    flash_env = os.environ.get("MASKDIT_BENCH_FLASH")
+    use_flash = (
+        None if flash_env == "1"
+        else (False if grad_accum > 1 else None)
+    )
     model = create_model(
         "edm", img_resolution=32, img_channels=4, num_classes=1000,
         model_type="DiT-XL/2", use_decoder=True, mae_loss_coef=0.1,
         dtype=jnp.bfloat16,
-        use_flash=False if grad_accum > 1 else None,
+        use_flash=use_flash,
         remat=False if remat in ("none", "0") else remat,
     )
     # single chip -> params replicated -> fused single-sweep Adam+EMA
     # env knob: '0' = staged optax, '1'/'pallas' = kernel, 'jnp' = fused math
     knob = os.environ.get("MASKDIT_BENCH_FUSED_ADAM", "jnp")
     fused = {"0": False, "1": True}.get(knob, knob)
-    opt = make_optimizer(1e-4, global_batch_size=batch, fused=fused)
+    # Accum configs store the Adam first moment in bf16 (frees 1.35 GB at
+    # the accumulation memory wall -> tile-perfect micro-32 fits; measured
+    # r3: 128x4 = 273.5 vs micro-28's 264.6 imgs/s). A further documented
+    # approximation beyond the reference's fp32 apex state; math stays
+    # fp32, rounding bounded by tests/test_fused_adam.py. Override with
+    # MASKDIT_BENCH_MU (empty string = exact fp32 state).
+    mu_default = "bfloat16" if grad_accum > 1 else ""
+    opt = make_optimizer(
+        1e-4, global_batch_size=batch, fused=fused,
+        moment_dtype=os.environ.get("MASKDIT_BENCH_MU", mu_default) or None,
+    )
     state = jax.jit(
         lambda r: create_train_state(model, r, opt, batch_size=1),
         donate_argnums=(),
@@ -297,7 +314,11 @@ def run_512(batch: int, grad_accum: int = 1, iters: int = 5) -> float:
         model_type="DiT-XL/2", use_decoder=True, mae_loss_coef=0.1,
         dtype=jnp.bfloat16,
     )
-    opt = make_optimizer(1e-4, global_batch_size=batch, fused="jnp")
+    mu_default = "bfloat16" if grad_accum > 1 else ""
+    opt = make_optimizer(
+        1e-4, global_batch_size=batch, fused="jnp",
+        moment_dtype=os.environ.get("MASKDIT_BENCH_MU", mu_default) or None,
+    )
     state = jax.jit(
         lambda r: create_train_state(model, r, opt, batch_size=1)
     )(jax.random.PRNGKey(0))
@@ -368,7 +389,12 @@ def main() -> None:
     if mode == "train512":
         rate = None
         for item in os.environ.get(
-            "MASKDIT_BENCH_512", "448x32,224x16,112x8,64x8,16,8"
+            # bf16 Adam-mu frees 1.35 GB -> micro-16 fits (fp32 state
+            # capped at micro-14). Measured v5e: 512x32 = 7409.0 ms =
+            # 69.11 imgs/s (1.2253x), 256x16 = 68.64, 128x8 = 67.8,
+            # 160x8 (micro-20) = 67.37 loses, 224x8 (micro-28) OOMs by
+            # 117 MB; fp32-state rungs 448x32 = 66.85, 224x16 = 66.61.
+            "MASKDIT_BENCH_512", "512x32,448x32,256x16,224x16,128x8,64x8,16,8"
         ).split(","):
             b, _, ga = item.partition("x")
             try:
@@ -387,20 +413,22 @@ def main() -> None:
     # Ladder entries are "<global_batch>" or "<global_batch>x<grad_accum>".
     # Gradient accumulation amortizes the ~42 ms per-PARAM Adam+EMA tail
     # over more images (the reference trains at 128/GPU, train.py;
-    # accumulation is the same SGD). Micro-batch 28 beats 30/32: the
-    # extra HBM headroom lets XLA stop rematerializing inside each
-    # micro-step. Measured v5e ladder (exact per-step fp32 EMA
-    # everywhere): 1344x48 = 4551.2 ms = 295.3 imgs/s (~58.9% MFU, r3),
-    # 672x24 = 2287.2 ms = 293.8, 560x20 = 290.9, 448x16 = 291.4,
-    # 336x12 = 288.4, 280x10 = 286.1, 224x8 = 282.6, 120x4 = 262.1,
-    # 48 plain (packed-attention kernel) = 253.9.
+    # accumulation is the same SGD). With fp32 Adam state, micro-28 was
+    # the r2/r3 memory-wall optimum (1344x48 = 295.3 imgs/s); storing the
+    # Adam first moment in bf16 (r3) frees 1.35 GB, tile-perfect micro-32
+    # fits, and the ladder leads 1536x48 = 5049.6 ms = 304.18 imgs/s
+    # (~60.6% MFU). Sweep (exact per-step fp32 EMA everywhere):
+    # 1536x48 = 304.2, 768x24 = 301.5, 128x4 = 273.5 (all micro-32,
+    # mu bf16; micro-36 = 266.3 loses); fp32-state rungs: 1344x48 =
+    # 295.3, 672x24 = 293.8, 448x16 = 291.4, 224x8 = 282.6, 120x4 =
+    # 262.1, 48 plain (packed kernel) = 253.9.
     # Falls back down the ladder on OOM. See STATUS.md round-3 for the
-    # experiments that did NOT move it (kernel-under-accum; accum_unroll
-    # and peel_last_micro compile-OOM at these micro sizes on 16 GB v5e).
+    # experiments that did NOT move it (kernel-under-accum, micro descent;
+    # accum_unroll and peel_last_micro compile-OOM on 16 GB v5e).
     ladder = []
     for item in os.environ.get(
         "MASKDIT_BENCH_BATCHES",
-        "1344x48,672x24,448x16,336x12,224x8,120x4,48,64,32,16,8",
+        "1536x48,768x24,672x24,448x16,336x12,224x8,120x4,48,64,32,16,8",
     ).split(","):
         b, _, ga = item.partition("x")
         ladder.append((int(b), int(ga) if ga else 1))

@@ -49,13 +49,14 @@ def _adam_ema_kernel(b1, b2, eps, with_ema,
     bc2 = s_ref[0, 2]  # 1 - b2^t
     d = s_ref[0, 3]  # ema decay
     g = g_ref[:]
-    m = b1 * m_ref[:] + (1.0 - b1) * g
-    v = b2 * v_ref[:] + (1.0 - b2) * g * g
+    # moments may be stored in a narrower dtype (mu_dtype); math is fp32
+    m = b1 * m_ref[:].astype(jnp.float32) + (1.0 - b1) * g
+    v = b2 * v_ref[:].astype(jnp.float32) + (1.0 - b2) * g * g
     denom = jnp.sqrt(v / bc2) + eps
     p = p_ref[:] - lr * (m / bc1) / denom
     p_out[:] = p
-    m_out[:] = m
-    v_out[:] = v
+    m_out[:] = m.astype(m_out.dtype)
+    v_out[:] = v.astype(v_out.dtype)
     if with_ema:
         e_out[:] = d * e_ref[:] + (1.0 - d) * p
     else:
@@ -81,8 +82,11 @@ def _leaf_update_pallas(scalars, g, p, m, v, e, *, b1, b2, eps, with_ema,
         grid=grid,
         in_specs=[smem, tile, tile, tile, tile, tile],
         out_specs=(tile, tile, tile, tile),
+        # outputs keep each state buffer's own dtype (moments may be
+        # stored narrower via mu_dtype; aliasing requires the match)
         out_shape=tuple(
-            jax.ShapeDtypeStruct((rows, LANES), jnp.float32) for _ in range(4)
+            jax.ShapeDtypeStruct((rows, LANES), a.dtype)
+            for a in (p2, m2, v2, e2)
         ),
         # in-place: p, m, v, ema buffers are reused for the outputs
         input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
@@ -96,11 +100,11 @@ def _leaf_update_jnp(scalars, g, p, m, v, e, *, b1, b2, eps, with_ema):
     """Fallback for tiny/ragged leaves — same math, plain XLA."""
     lr, bc1, bc2, d = (scalars[0, i] for i in range(4))
     g = g.astype(jnp.float32)
-    m = b1 * m + (1.0 - b1) * g
-    v = b2 * v + (1.0 - b2) * g * g
-    p = p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+    m_new = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
+    v_new = b2 * v.astype(jnp.float32) + (1.0 - b2) * g * g
+    p = p - lr * (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
     e = d * e + (1.0 - d) * p if with_ema else e
-    return p, m, v, e
+    return p, m_new.astype(m.dtype), v_new.astype(v.dtype), e
 
 
 def fused_adam_ema(
@@ -185,12 +189,22 @@ class FusedAdamEma:
         b2: float = 0.999,
         eps: float = 1e-8,
         default_mode: Optional[str] = None,  # see fused_adam_ema(mode=...)
+        mu_dtype: Optional[Any] = None,  # narrower first-moment storage
     ):
         self.learning_rate = learning_rate
         self.b1, self.b2, self.eps = b1, b2, eps
         self.default_mode = default_mode
+        # mu_dtype mirrors optax.adam's knob: the first moment is STORED
+        # in the given dtype (e.g. bf16 halves its HBM: 1.35 GB for XL/2)
+        # while all update math stays fp32. The m update's per-step
+        # relative increment is (1-b1)=10%, far above bf16's ~0.4%
+        # resolution, so rounding is benign — unlike nu (increment 0.1%)
+        # or the EMA (1e-4), which stay fp32. Deviation from the
+        # reference's fp32 apex FusedAdam state; opt-in, bounded by
+        # tests/test_fused_adam.py::test_bf16_mu_tracks_fp32.
         self._optax = optax.adam(
-            learning_rate=learning_rate, b1=b1, b2=b2, eps=eps
+            learning_rate=learning_rate, b1=b1, b2=b2, eps=eps,
+            mu_dtype=mu_dtype,
         )
 
     def init(self, params: Any):

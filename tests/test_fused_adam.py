@@ -122,3 +122,57 @@ def test_fused_adam_ema_function_direct():
     # m_hat = 0.5, v_hat = 0.25 -> p - 0.1 * 0.5/(0.5 + 1e-8)
     np.testing.assert_allclose(np.asarray(new_p["w"]), 1.0 - 0.1 * 0.5 / (0.5 + 1e-8), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(new_e["w"]), 0.5 * 1.0 + 0.5 * np.asarray(new_p["w"]), rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["jnp", "interpret"])
+def test_bf16_mu_tracks_fp32(mode):
+    """mu_dtype='bfloat16' stores the first moment narrower; the math
+    stays fp32 so params must track the fp32-state run within the bf16
+    rounding of m (relative ~2^-8 of an m whose per-step increment is
+    (1-b1)=10%) — and the state tree must really be bf16."""
+    params32 = make_tree(0)
+    params16 = make_tree(0)
+    full = FusedAdamEma(1e-3)
+    narrow = FusedAdamEma(1e-3, mu_dtype=jnp.bfloat16)
+    s32, s16 = full.init(params32), narrow.init(params16)
+    for leaf in jax.tree.leaves(s16[0].mu):
+        assert leaf.dtype == jnp.bfloat16
+    for leaf in jax.tree.leaves(s16[0].nu):
+        assert leaf.dtype == jnp.float32
+    ema32 = jax.tree.map(lambda p: p, params32)
+    ema16 = jax.tree.map(lambda p: p, params16)
+
+    for step in range(8):
+        grads = make_tree(200 + step)
+        params32, s32, ema32 = full.update_with_ema(
+            grads, s32, params32, ema32, ema_decay=0.995, mode=mode
+        )
+        params16, s16, ema16 = narrow.update_with_ema(
+            grads, s16, params16, ema16, ema_decay=0.995, mode=mode
+        )
+
+    for leaf in jax.tree.leaves(s16[0].mu):
+        assert leaf.dtype == jnp.bfloat16
+    # per-step param deviation is bounded by lr * (bf16 rounding of the
+    # normalized update) ~ lr * 0.4%; over 8 steps allow 8x headroom
+    lr = 1e-3
+    for a, b in zip(jax.tree.leaves(params32), jax.tree.leaves(params16)):
+        dev = np.abs(np.asarray(a) - np.asarray(b))
+        assert np.median(dev) < 0.01 * lr, np.median(dev)
+        assert dev.max() < 0.2 * lr, dev.max()
+
+
+def test_make_optimizer_moment_dtype_plumbing():
+    """moment_dtype reaches both the fused and plain-optax constructions."""
+    from maskdit_tpu.train.state import make_optimizer
+
+    params = make_tree(1)
+    for fused in ("jnp", False):
+        opt = make_optimizer(
+            1e-4, global_batch_size=8, fused=fused, moment_dtype="bfloat16"
+        )
+        state = opt.init(params)
+        for leaf in jax.tree.leaves(state[0].mu):
+            assert leaf.dtype == jnp.bfloat16
+        for leaf in jax.tree.leaves(state[0].nu):
+            assert leaf.dtype == jnp.float32

@@ -64,7 +64,12 @@ def build(scan_blocks=False, flash=None):
         dtype=jnp.bfloat16, scan_blocks=scan_blocks, use_flash=flash,
         remat=False if remat in ("none", "0") else remat,
     )
-    opt = make_optimizer(1e-4, global_batch_size=BATCH, fused="jnp")
+    # PROBE_MU=bfloat16 stores the Adam first moment narrower (matches
+    # bench.py's accum-config default; see make_optimizer docstring)
+    opt = make_optimizer(
+        1e-4, global_batch_size=BATCH, fused="jnp",
+        moment_dtype=os.environ.get("PROBE_MU") or None,
+    )
     state = jax.jit(
         lambda r: create_train_state(model, r, opt, batch_size=1)
     )(jax.random.PRNGKey(0))
