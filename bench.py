@@ -37,7 +37,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def build(batch: int, grad_accum: int = 1):
+def build(batch: int, grad_accum: int = 1, mask_ratio: float = 0.5):
     from maskdit_tpu.models import create_model
     from maskdit_tpu.train.state import (
         create_train_state,
@@ -94,7 +94,7 @@ def build(batch: int, grad_accum: int = 1):
     amp_default = "1" if grad_accum > 1 else "0"
     step = jax.jit(
         make_train_step(
-            model, opt, mask_ratio=0.5, mae_loss_coef=0.1,
+            model, opt, mask_ratio=mask_ratio, mae_loss_coef=0.1,
             class_dropout_prob=0.1, log_grad_norm=False,
             grad_accum=grad_accum,
             amp_grads=os.environ.get(
@@ -131,8 +131,20 @@ def _train_flops_per_image() -> float:
 TRAIN_FLOPS_PER_IMAGE = _train_flops_per_image()  # ~393 GF (XL/2 @256, mask .5)
 
 
-def run(batch: int, grad_accum: int = 1, warmup: int = 2, iters: int = 10) -> float:
-    state, step, batch_data, rng = build(batch, grad_accum)
+def run(
+    batch: int,
+    grad_accum: int = 1,
+    warmup: int = 2,
+    iters: int = 10,
+    mask_ratio: float = 0.5,
+) -> float:
+    from maskdit_tpu.utils.profiling import maskdit_train_flops_per_image
+
+    flops_per_image = (
+        TRAIN_FLOPS_PER_IMAGE if mask_ratio == 0.5
+        else maskdit_train_flops_per_image("DiT-XL/2", 32, mask_ratio, True)
+    )
+    state, step, batch_data, rng = build(batch, grad_accum, mask_ratio)
     for i in range(warmup):
         state, metrics = step(state, batch_data, rng)
     # honest sync: fetch a scalar derived from the full step
@@ -150,7 +162,7 @@ def run(batch: int, grad_accum: int = 1, warmup: int = 2, iters: int = 10) -> fl
     if not jnp.isfinite(loss):
         raise RuntimeError(f"non-finite loss {loss}")
     imgs_per_sec = batch / dt
-    tflops = imgs_per_sec * TRAIN_FLOPS_PER_IMAGE / 1e12
+    tflops = imgs_per_sec * flops_per_image / 1e12
     log(f"implied compute: {tflops:.1f} TFLOP/s (peak {V5E_PEAK_TFLOPS})")
     if tflops > V5E_PEAK_TFLOPS:
         raise RuntimeError(
@@ -214,7 +226,7 @@ def run_sampling_sweep(num_steps: int = 40, res: int = 32) -> float:
 
 
 def run_sampling_e2e(
-    batch: int = 128, num_steps: int = 40, dec_chunk: int = 32
+    batch: int = 128, num_steps: int = 40, dec_chunk: int = 32, res: int = 32
 ) -> float:
     """End-to-end sampling: EDM scan -> VAE decode -> uint8 on host.
 
@@ -229,6 +241,8 @@ def run_sampling_e2e(
     blows HBM (the 256x256 conv activations dwarf the latents), exactly
     why the reference caps its decode batches and halves on OOM
     (sample.py:273-279, max_batch 50/GPU).
+
+    ``res`` is the latent resolution (32 -> 256px output, 64 -> 512px).
     """
     import numpy as np
 
@@ -241,13 +255,13 @@ def run_sampling_e2e(
     )
 
     model = create_model(
-        "edm", img_resolution=32, img_channels=4, num_classes=1000,
+        "edm", img_resolution=res, img_channels=4, num_classes=1000,
         model_type="DiT-XL/2", use_decoder=True, mae_loss_coef=0.1,
         dtype=jnp.bfloat16,
     )
     variables = jax.jit(
         lambda r: model.init(
-            {"params": r}, jnp.zeros((1, 4, 32, 32)), jnp.ones((1,)),
+            {"params": r}, jnp.zeros((1, 4, res, res)), jnp.ones((1,)),
             jnp.zeros((1, 1000)),
         )
     )(jax.random.PRNGKey(0))
@@ -263,7 +277,7 @@ def run_sampling_e2e(
         lambda p, z: vae.apply({"params": p}, z, method="decode")
     )
 
-    latents = jax.random.normal(jax.random.PRNGKey(1), (batch, 4, 32, 32))
+    latents = jax.random.normal(jax.random.PRNGKey(1), (batch, 4, res, res))
     labels = jax.nn.one_hot(jnp.arange(batch) % 1000, 1000)
     rng = jax.random.PRNGKey(2)
 
@@ -277,7 +291,7 @@ def run_sampling_e2e(
         return to_uint8(np.concatenate([np.asarray(c) for c in chunks]))
 
     img = fetch_uint8(one_batch())  # warm both compiles + path
-    assert img.shape == (batch, 256, 256, 3) and img.dtype == np.uint8
+    assert img.shape == (batch, res * 8, res * 8, 3) and img.dtype == np.uint8
 
     iters = 3
     t0 = time.perf_counter()
@@ -380,10 +394,44 @@ def main() -> None:
         return
     if mode == "sample512":
         rate = run_sampling_sweep(res=64)
+        e2e = 0.0
+        try:
+            # 512px decode activations are 4x the 256px ones: batch 32,
+            # 8-image decode chunks
+            e2e = run_sampling_e2e(batch=32, dec_chunk=8, res=64)
+        except Exception as e:
+            log(f"e2e sampling failed: {type(e).__name__}: {e}")
+        log(f"sampler-only best: {rate:.2f} imgs/s; end-to-end: {e2e:.2f}")
         print(json.dumps({
             "metric": "maskdit_xl2_cfg40_sampling512_images_per_sec",
             "value": round(rate, 3), "unit": "images/sec/chip",
             "vs_baseline": 0.0,  # the reference publishes no sampling rate
+            "e2e_with_decode": round(e2e, 3),
+        }))
+        return
+    if mode == "finetune256":
+        # The reference recipe's SECOND phase: unmasked finetune at 256-res
+        # (configs/finetune/imagenet256-latent-const.yaml: mask 0.0, MAE
+        # coef 0.1, lr 5e-5; README.md:102-105). Full-length encoder
+        # (L=256) doubles encoder FLOPs/activations vs mask-0.5 pretrain,
+        # so the memory-wall micro is ~half. The reference publishes no
+        # finetune throughput (vs_baseline 0.0); the JSON value documents
+        # the phase's measured rate for planners.
+        rate = None
+        for item in os.environ.get(
+            "MASKDIT_BENCH_FT", "1152x48,768x48,384x24,256x16,128x8,64x4,32,16"
+        ).split(","):
+            b, _, ga = item.partition("x")
+            try:
+                rate = run(int(b), int(ga) if ga else 1, mask_ratio=0.0)
+                break
+            except Exception as e:
+                log(f"finetune {item} failed: {type(e).__name__}: {e}")
+                continue
+        print(json.dumps({
+            "metric": "maskdit_xl2_finetune256_images_per_sec",
+            "value": round(rate or 0.0, 2), "unit": "images/sec/chip",
+            "vs_baseline": 0.0,  # no published finetune-phase throughput
         }))
         return
     if mode == "train512":

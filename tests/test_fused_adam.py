@@ -176,3 +176,36 @@ def test_make_optimizer_moment_dtype_plumbing():
             assert leaf.dtype == jnp.bfloat16
         for leaf in jax.tree.leaves(state[0].nu):
             assert leaf.dtype == jnp.float32
+
+
+def test_moment_dtype_switch_across_restore(tmp_path):
+    """A checkpoint saved with fp32 Adam state restores into a bf16-mu
+    optimizer (and back): orbax StandardRestore casts leaves to the
+    abstract state's dtypes, so train.moment_dtype can be flipped
+    mid-run without invalidating checkpoints."""
+    import orbax.checkpoint as ocp
+
+    from maskdit_tpu.train.state import make_optimizer
+
+    params = make_tree(3)
+    opt32 = make_optimizer(1e-4, global_batch_size=8, fused=False)
+    opt16 = make_optimizer(
+        1e-4, global_batch_size=8, fused=False, moment_dtype="bfloat16"
+    )
+    s32 = opt32.init(params)
+    mgr = ocp.CheckpointManager(tmp_path / "ck")
+    mgr.save(0, args=ocp.args.StandardSave(s32))
+    mgr.wait_until_finished()
+    restored = mgr.restore(
+        0, args=ocp.args.StandardRestore(jax.eval_shape(opt16.init, params))
+    )
+    for leaf in jax.tree.leaves(restored[0].mu):
+        assert leaf.dtype == jnp.bfloat16
+    for a, b in zip(jax.tree.leaves(restored[0].mu), jax.tree.leaves(s32[0].mu)):
+        np.testing.assert_allclose(
+            np.asarray(a, dtype=np.float32), np.asarray(b), rtol=8e-3, atol=1e-6
+        )
+    # and the narrow state feeds a working update
+    grads = make_tree(4)
+    updates, _ = opt16.update(grads, restored, params)
+    assert all(np.isfinite(np.asarray(u)).all() for u in jax.tree.leaves(updates))
