@@ -312,8 +312,11 @@ def run_sampling_e2e(
 BASELINE_512_IMGS_PER_SEC = 56.4  # ~210 A100-days / 1M steps @ 1024 (README.md:29)
 
 
-def run_512(batch: int, grad_accum: int = 1, iters: int = 5) -> float:
-    """512-res training throughput (XL/2, 64x64 latents, mask 0.5)."""
+def run_512(
+    batch: int, grad_accum: int = 1, iters: int = 5, mask_ratio: float = 0.5
+) -> float:
+    """512-res training throughput (XL/2, 64x64 latents, mask 0.5 or the
+    unmasked finetune phase at mask 0.0)."""
     os.environ.setdefault("PROBE_RES", "64")
     from maskdit_tpu.models import create_model
     from maskdit_tpu.train.state import (
@@ -338,7 +341,7 @@ def run_512(batch: int, grad_accum: int = 1, iters: int = 5) -> float:
     )(jax.random.PRNGKey(0))
     step = jax.jit(
         make_train_step(
-            model, opt, mask_ratio=0.5, mae_loss_coef=0.1,
+            model, opt, mask_ratio=mask_ratio, mae_loss_coef=0.1,
             class_dropout_prob=0.1, log_grad_norm=False,
             grad_accum=grad_accum,
             amp_grads=grad_accum > 1,
@@ -367,7 +370,7 @@ def run_512(batch: int, grad_accum: int = 1, iters: int = 5) -> float:
     if not jnp.isfinite(loss):
         raise RuntimeError(f"non-finite loss {loss}")
     imgs = batch / dt
-    flops = maskdit_train_flops_per_image("DiT-XL/2", 64, 0.5, True)
+    flops = maskdit_train_flops_per_image("DiT-XL/2", 64, mask_ratio, True)
     tflops = imgs * flops / 1e12
     log(f"implied compute: {tflops:.1f} TFLOP/s (peak {V5E_PEAK_TFLOPS})")
     if tflops > V5E_PEAK_TFLOPS:
@@ -430,6 +433,28 @@ def main() -> None:
                 continue
         print(json.dumps({
             "metric": "maskdit_xl2_finetune256_images_per_sec",
+            "value": round(rate or 0.0, 2), "unit": "images/sec/chip",
+            "vs_baseline": 0.0,  # no published finetune-phase throughput
+        }))
+        return
+    if mode == "finetune512":
+        # 512-res unmasked finetune phase (reference
+        # configs/finetune/imagenet512-latent.yaml + scripts/
+        # finetune_latent512.sh): encoder runs full L=1024, where the
+        # Pallas flash path auto-dispatches. No published throughput.
+        rate = None
+        for item in os.environ.get(
+            "MASKDIT_BENCH_FT512", "384x32,256x32,128x16,64x8,32x4,16"
+        ).split(","):
+            b, _, ga = item.partition("x")
+            try:
+                rate = run_512(int(b), int(ga) if ga else 1, mask_ratio=0.0)
+                break
+            except Exception as e:
+                log(f"finetune512 {item} failed: {type(e).__name__}: {e}")
+                continue
+        print(json.dumps({
+            "metric": "maskdit_xl2_finetune512_images_per_sec",
             "value": round(rate or 0.0, 2), "unit": "images/sec/chip",
             "vs_baseline": 0.0,  # no published finetune-phase throughput
         }))
