@@ -19,6 +19,7 @@ import json
 import os
 import sys
 import time
+from typing import Optional
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -37,7 +38,16 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def build(batch: int, grad_accum: int = 1, mask_ratio: float = 0.5):
+def build(
+    batch: int, grad_accum: int = 1, mask_ratio: float = 0.5, res: int = 32
+):
+    """Model + jitted train step + synthetic batch for one ladder rung.
+
+    ``res`` is the latent resolution (32 = 256px, 64 = 512px). One
+    builder serves every training mode so the env knobs (FUSED_ADAM,
+    FLASH, MU, AMP_GRADS, REMAT, UNROLL, PEEL) mean the same thing at
+    both resolutions.
+    """
     from maskdit_tpu.models import create_model
     from maskdit_tpu.train.state import (
         create_train_state,
@@ -46,20 +56,20 @@ def build(batch: int, grad_accum: int = 1, mask_ratio: float = 0.5):
     )
 
     remat = os.environ.get("MASKDIT_BENCH_REMAT", "none")
-    # Accumulating configs run without the packed-attention kernel:
-    # measured 120x4 = 458 ms (XLA) vs 476 ms (kernel) — under accum
-    # memory pressure XLA's own rematerializer needs the freedom a custom
-    # call takes away. Plain configs keep the kernel (bs48: 189.1 vs
-    # 196.5 ms). See STATUS.md for the full sweep.
-    # MASKDIT_BENCH_FLASH=1 forces the packed kernel even under accum
-    # (for probes; measured slower at the fp32-state memory wall)
+    # Attention-kernel policy (measured, see trainer.default_use_flash):
+    # at 256-res (max L 256) accumulation runs WITHOUT the packed kernel
+    # (120x4 = 458 ms XLA vs 476 kernel; 768x24 = 2547 vs 2734 even with
+    # bf16-mu headroom) while plain steps keep it (bs48: 189.1 vs 196.5).
+    # At 512-res (max L >= 512) the blocked flash_big kernel wins under
+    # accumulation too (512x32 = 69.11 imgs/s vs 43.5 XLA) — stay auto.
+    # MASKDIT_BENCH_FLASH=1 forces auto-dispatch everywhere (probes).
     flash_env = os.environ.get("MASKDIT_BENCH_FLASH")
     use_flash = (
         None if flash_env == "1"
-        else (False if grad_accum > 1 else None)
+        else (False if (grad_accum > 1 and res < 64) else None)
     )
     model = create_model(
-        "edm", img_resolution=32, img_channels=4, num_classes=1000,
+        "edm", img_resolution=res, img_channels=4, num_classes=1000,
         model_type="DiT-XL/2", use_decoder=True, mae_loss_coef=0.1,
         dtype=jnp.bfloat16,
         use_flash=use_flash,
@@ -108,7 +118,7 @@ def build(batch: int, grad_accum: int = 1, mask_ratio: float = 0.5):
     )
     rng = jax.random.PRNGKey(1)
     batch_data = {
-        "x": jax.random.normal(jax.random.fold_in(rng, 0), (batch, 8, 32, 32)),
+        "x": jax.random.normal(jax.random.fold_in(rng, 0), (batch, 8, res, res)),
         "y": jax.nn.one_hot(
             jax.random.randint(jax.random.fold_in(rng, 1), (batch,), 0, 1000),
             1000,
@@ -137,14 +147,15 @@ def run(
     warmup: int = 2,
     iters: int = 10,
     mask_ratio: float = 0.5,
+    res: int = 32,
 ) -> float:
     from maskdit_tpu.utils.profiling import maskdit_train_flops_per_image
 
     flops_per_image = (
-        TRAIN_FLOPS_PER_IMAGE if mask_ratio == 0.5
-        else maskdit_train_flops_per_image("DiT-XL/2", 32, mask_ratio, True)
+        TRAIN_FLOPS_PER_IMAGE if (mask_ratio, res) == (0.5, 32)
+        else maskdit_train_flops_per_image("DiT-XL/2", res, mask_ratio, True)
     )
-    state, step, batch_data, rng = build(batch, grad_accum, mask_ratio)
+    state, step, batch_data, rng = build(batch, grad_accum, mask_ratio, res)
     for i in range(warmup):
         state, metrics = step(state, batch_data, rng)
     # honest sync: fetch a scalar derived from the full step
@@ -157,7 +168,8 @@ def run(
     loss = float(jax.device_get(metrics["loss"]))
     jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / iters
-    log(f"batch={batch} (accum={grad_accum}): {dt*1e3:.1f} ms/step, "
+    tag = "" if res == 32 else f" res={res * 8}"
+    log(f"batch={batch} (accum={grad_accum}){tag}: {dt*1e3:.1f} ms/step, "
         f"loss={loss:.4f}")
     if not jnp.isfinite(loss):
         raise RuntimeError(f"non-finite loss {loss}")
@@ -312,70 +324,19 @@ def run_sampling_e2e(
 BASELINE_512_IMGS_PER_SEC = 56.4  # ~210 A100-days / 1M steps @ 1024 (README.md:29)
 
 
-def run_512(
-    batch: int, grad_accum: int = 1, iters: int = 5, mask_ratio: float = 0.5
-) -> float:
-    """512-res training throughput (XL/2, 64x64 latents, mask 0.5 or the
-    unmasked finetune phase at mask 0.0)."""
-    os.environ.setdefault("PROBE_RES", "64")
-    from maskdit_tpu.models import create_model
-    from maskdit_tpu.train.state import (
-        create_train_state,
-        make_optimizer,
-        make_train_step,
-    )
-    from maskdit_tpu.utils.profiling import maskdit_train_flops_per_image
+def ladder_sweep(env_name: str, default: str, runner) -> Optional[float]:
+    """First ladder rung that runs wins; OOM/compile failures fall down.
 
-    model = create_model(
-        "edm", img_resolution=64, img_channels=4, num_classes=1000,
-        model_type="DiT-XL/2", use_decoder=True, mae_loss_coef=0.1,
-        dtype=jnp.bfloat16,
-    )
-    mu_default = "bfloat16" if grad_accum > 1 else ""
-    opt = make_optimizer(
-        1e-4, global_batch_size=batch, fused="jnp",
-        moment_dtype=os.environ.get("MASKDIT_BENCH_MU", mu_default) or None,
-    )
-    state = jax.jit(
-        lambda r: create_train_state(model, r, opt, batch_size=1)
-    )(jax.random.PRNGKey(0))
-    step = jax.jit(
-        make_train_step(
-            model, opt, mask_ratio=mask_ratio, mae_loss_coef=0.1,
-            class_dropout_prob=0.1, log_grad_norm=False,
-            grad_accum=grad_accum,
-            amp_grads=grad_accum > 1,
-            accum_dtype="bfloat16" if grad_accum > 1 else None,
-        ),
-        donate_argnums=(0,),
-    )
-    rng = jax.random.PRNGKey(1)
-    batch_data = {
-        "x": jax.random.normal(jax.random.fold_in(rng, 0), (batch, 8, 64, 64)),
-        "y": jax.nn.one_hot(
-            jax.random.randint(jax.random.fold_in(rng, 1), (batch,), 0, 1000),
-            1000,
-        ),
-    }
-    for _ in range(2):
-        state, metrics = step(state, batch_data, rng)
-    float(jax.device_get(metrics["loss"]))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, batch_data, rng)
-    loss = float(jax.device_get(metrics["loss"]))
-    dt = (time.perf_counter() - t0) / iters
-    log(f"512-res batch={batch}x{grad_accum}: {dt*1e3:.1f} ms/step, "
-        f"loss={loss:.4f}")
-    if not jnp.isfinite(loss):
-        raise RuntimeError(f"non-finite loss {loss}")
-    imgs = batch / dt
-    flops = maskdit_train_flops_per_image("DiT-XL/2", 64, mask_ratio, True)
-    tflops = imgs * flops / 1e12
-    log(f"implied compute: {tflops:.1f} TFLOP/s (peak {V5E_PEAK_TFLOPS})")
-    if tflops > V5E_PEAK_TFLOPS:
-        raise RuntimeError("timing invalid (exceeds chip peak)")
-    return imgs
+    Entries are "<global_batch>" or "<global_batch>x<grad_accum>".
+    """
+    for item in os.environ.get(env_name, default).split(","):
+        b, _, ga = item.partition("x")
+        try:
+            return runner(int(b), int(ga) if ga else 1)
+        except Exception as e:
+            log(f"{env_name} {item} failed: {type(e).__name__}: {e}")
+            continue
+    return None
 
 
 def main() -> None:
@@ -420,17 +381,12 @@ def main() -> None:
         # so the memory-wall micro is ~half. The reference publishes no
         # finetune throughput (vs_baseline 0.0); the JSON value documents
         # the phase's measured rate for planners.
-        rate = None
-        for item in os.environ.get(
-            "MASKDIT_BENCH_FT", "1152x48,768x48,384x24,256x16,128x8,64x4,32,16"
-        ).split(","):
-            b, _, ga = item.partition("x")
-            try:
-                rate = run(int(b), int(ga) if ga else 1, mask_ratio=0.0)
-                break
-            except Exception as e:
-                log(f"finetune {item} failed: {type(e).__name__}: {e}")
-                continue
+        # Measured v5e: 1152x48 (micro-24) = 7667.2 ms = 150.25 imgs/s
+        # (~57.5% MFU).
+        rate = ladder_sweep(
+            "MASKDIT_BENCH_FT", "1152x48,768x48,384x24,256x16,128x8,64x4,32,16",
+            lambda b, ga: run(b, ga, mask_ratio=0.0),
+        )
         print(json.dumps({
             "metric": "maskdit_xl2_finetune256_images_per_sec",
             "value": round(rate or 0.0, 2), "unit": "images/sec/chip",
@@ -442,17 +398,12 @@ def main() -> None:
         # configs/finetune/imagenet512-latent.yaml + scripts/
         # finetune_latent512.sh): encoder runs full L=1024, where the
         # Pallas flash path auto-dispatches. No published throughput.
-        rate = None
-        for item in os.environ.get(
-            "MASKDIT_BENCH_FT512", "384x32,256x32,128x16,64x8,32x4,16"
-        ).split(","):
-            b, _, ga = item.partition("x")
-            try:
-                rate = run_512(int(b), int(ga) if ga else 1, mask_ratio=0.0)
-                break
-            except Exception as e:
-                log(f"finetune512 {item} failed: {type(e).__name__}: {e}")
-                continue
+        # Measured v5e: 384x32 (micro-12) = 11138.6 ms = 34.47 imgs/s
+        # (~58.7% MFU).
+        rate = ladder_sweep(
+            "MASKDIT_BENCH_FT512", "384x32,256x32,128x16,64x8,32x4,16",
+            lambda b, ga: run(b, ga, mask_ratio=0.0, res=64, iters=5),
+        )
         print(json.dumps({
             "metric": "maskdit_xl2_finetune512_images_per_sec",
             "value": round(rate or 0.0, 2), "unit": "images/sec/chip",
@@ -460,30 +411,21 @@ def main() -> None:
         }))
         return
     if mode == "train512":
-        rate = None
-        for item in os.environ.get(
-            # bf16 Adam-mu frees 1.35 GB -> micro-16 fits (fp32 state
-            # capped at micro-14). Measured v5e: 512x32 = 7409.0 ms =
-            # 69.11 imgs/s (1.2253x), 256x16 = 68.64, 128x8 = 67.8,
-            # 160x8 (micro-20) = 67.37 loses, 224x8 (micro-28) OOMs by
-            # 117 MB; fp32-state rungs 448x32 = 66.85, 224x16 = 66.61.
-            "MASKDIT_BENCH_512", "512x32,448x32,256x16,224x16,128x8,64x8,16,8"
-        ).split(","):
-            b, _, ga = item.partition("x")
-            try:
-                rate = run_512(int(b), int(ga) if ga else 1)
-                break
-            except Exception as e:
-                log(f"512 {item} failed: {type(e).__name__}: {e}")
-                continue
+        # bf16 Adam-mu frees 1.35 GB -> micro-16 fits (fp32 state capped
+        # at micro-14). Measured v5e: 512x32 = 7409.0 ms = 69.11 imgs/s
+        # (1.2253x), 256x16 = 68.64, 128x8 = 67.8, 160x8 (micro-20) =
+        # 67.37 loses, 224x8 (micro-28) OOMs by 117 MB; fp32-state rungs
+        # 448x32 = 66.85, 224x16 = 66.61.
+        rate = ladder_sweep(
+            "MASKDIT_BENCH_512", "512x32,448x32,256x16,224x16,128x8,64x8,16,8",
+            lambda b, ga: run(b, ga, res=64, iters=5),
+        )
         print(json.dumps({
             "metric": "maskdit_xl2_train512_images_per_sec",
             "value": round(rate or 0.0, 2), "unit": "images/sec/chip",
             "vs_baseline": round((rate or 0.0) / BASELINE_512_IMGS_PER_SEC, 4),
         }))
         return
-    imgs_per_sec = None
-    # Ladder entries are "<global_batch>" or "<global_batch>x<grad_accum>".
     # Gradient accumulation amortizes the ~42 ms per-PARAM Adam+EMA tail
     # over more images (the reference trains at 128/GPU, train.py;
     # accumulation is the same SGD). With fp32 Adam state, micro-28 was
@@ -498,20 +440,11 @@ def main() -> None:
     # Falls back down the ladder on OOM. See STATUS.md round-3 for the
     # experiments that did NOT move it (kernel-under-accum, micro descent;
     # accum_unroll and peel_last_micro compile-OOM on 16 GB v5e).
-    ladder = []
-    for item in os.environ.get(
+    imgs_per_sec = ladder_sweep(
         "MASKDIT_BENCH_BATCHES",
         "1536x48,768x24,672x24,448x16,336x12,224x8,120x4,48,64,32,16,8",
-    ).split(","):
-        b, _, ga = item.partition("x")
-        ladder.append((int(b), int(ga) if ga else 1))
-    for batch, ga in ladder:
-        try:
-            imgs_per_sec = run(batch, ga)
-            break
-        except Exception as e:  # OOM fallback ladder
-            log(f"batch={batch}x{ga} failed: {type(e).__name__}: {e}")
-            continue
+        run,
+    )
     if imgs_per_sec is None:
         print(json.dumps({
             "metric": "maskdit_xl2_train_images_per_sec",

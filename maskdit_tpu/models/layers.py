@@ -226,6 +226,11 @@ class Attention(nn.Module):
         # variant supports the shape, else the mha dispatcher's own
         # auto rule); True = explicitly request the ops/flash.py
         # streaming kernel via mha; False = plain jnp path.
+        # MIGRATION NOTE (round 3): before this, True *also* engaged the
+        # packed kernel. A config that opted in with `use_flash: true` to
+        # get the auto-dispatched kernels should now say nothing (or
+        # null): True is reserved for explicitly forcing ops/flash.py,
+        # which loses to the packed kernels at L<=512.
         from maskdit_tpu.ops import flash_batched, flash_big
 
         auto = kv_valid is None and self.use_flash is None

@@ -68,7 +68,10 @@ def _plan(h: int, l: int, d: int):
             continue
         dg = d // g
         for bq in (512, 256):
-            if bq > l:
+            # bq must divide L: the kernels write exactly l // bq query
+            # blocks, so a non-divisible bq would leave the tail of oT
+            # (and dq/dk/dv) unwritten — e.g. L=768 with bq=512.
+            if bq > l or l % bq:
                 continue
             est = (
                 2 * 7 * dg * l * 2          # double-buffered bf16 I/O blocks

@@ -66,7 +66,9 @@ def mae_loss(
         var = target.var(axis=-1, keepdims=True, ddof=1)
         target = (target - mean) / jnp.sqrt(var + 1e-6)
     loss = jnp.square(pred - target).mean(axis=-1)  # (N, L)
-    return (loss * mask).sum(axis=1) / mask.sum(axis=1)
+    # max(count, 1): with a *traced* ratio (pad-to-max schedules) the mask
+    # can be all-zero at ratio 0 — the term must vanish, not 0/0-NaN
+    return (loss * mask).sum(axis=1) / jnp.maximum(mask.sum(axis=1), 1.0)
 
 
 class EDMLoss:
@@ -138,7 +140,11 @@ class EDMLoss:
         if masked:
             loss_patch = per_patch_mean(loss_px, patch_size)  # (N, L)
             unmask = 1.0 - model_out["mask"]
-            loss_vec = (loss_patch * unmask).sum(axis=1) / unmask.sum(axis=1)
+            # max(count, 1) guards the traced-ratio extreme (ratio -> 1
+            # keeps zero tokens); at any real schedule point it is inert
+            loss_vec = (loss_patch * unmask).sum(axis=1) / jnp.maximum(
+                unmask.sum(axis=1), 1.0
+            )
             aux["dsm_loss"] = loss_vec.mean()
             if mae_loss_coef > 0:
                 mae = mae_loss(y + noise, d_yn, 1.0 - unmask, patch_size)

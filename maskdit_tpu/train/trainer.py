@@ -79,6 +79,19 @@ def build_dataset(config) -> Any:
     raise ValueError(f"unknown data.category '{category}'")
 
 
+def default_use_flash(grad_accum: int, seq_len: int) -> Optional[bool]:
+    """Measured default for the attention-kernel auto-dispatch.
+
+    Short sequences (max L < 512, flash_batched's regime) lose to plain
+    XLA attention under grad-accum memory pressure (256-res: 120x4 = 476
+    vs 458 ms; 768x24 = 2734 vs 2547 even with bf16-mu headroom), so
+    accumulating short-L configs default the kernel OFF. Long sequences
+    (max L >= 512, flash_big's regime) win under accumulation too
+    (512-res 512x32: 69.11 imgs/s vs 43.5 for XLA attention), so stay on
+    auto. See STATUS.md for the sweeps."""
+    return False if (grad_accum > 1 and seq_len < 512) else None
+
+
 def experiment_name(config, global_batch: int) -> str:
     """Reference exp-dir naming (train.py:92-94)."""
     model_name = config.model.model_type.replace("/", "-")
@@ -143,14 +156,9 @@ class Trainer:
             ext_feature_dim=config.model.get("ext_feature_dim", 0),
             class_dropout_prob=config.model.get("class_dropout_prob", 0.1),
             dtype=jnp.float32 if config.train.get("fp32", False) else jnp.bfloat16,
-            # None = auto (packed Pallas kernel on TPU at supported L).
-            # Measured at 256-res: the kernel wins plain steps but LOSES
-            # under grad-accum memory pressure (120x4: 476 vs 458 ms;
-            # 672x24: 2462 vs 2287 ms — STATUS.md), so when the config
-            # accumulates and doesn't say otherwise, default it off —
-            # mirroring bench.py. An explicit model.use_flash wins.
+            # an explicit model.use_flash wins; see default_use_flash
             use_flash=config.model.get(
-                "use_flash", False if self.grad_accum > 1 else None
+                "use_flash", default_use_flash(self.grad_accum, self.seq_len)
             ),
         )
         # fused single-sweep Adam+EMA whenever params are replicated (any

@@ -32,7 +32,6 @@ RES=256
 CFG=1.5
 SEEDS="0-49999"
 DRY=0
-TARGET_FID="${TARGET_FID:-2.50}"   # 2.28 published + headroom for RNG-stream drift
 while [[ $# -gt 0 ]]; do
   case "$1" in
     --res) RES="$2"; shift 2 ;;
@@ -42,6 +41,18 @@ while [[ $# -gt 0 ]]; do
     *) echo "unknown arg $1" >&2; exit 2 ;;
   esac
 done
+
+# Default acceptance bar per (res, guidance): the published FID
+# (reference README.md:48-53) + ~10% headroom for RNG-stream drift.
+# 256 cfg: 2.28 -> 2.50 | 256 uncond: 5.69 -> 6.26
+# 512 cfg: 2.50 -> 2.75 | 512 uncond: 10.79 -> 11.87
+if [[ -z "${TARGET_FID:-}" ]]; then
+  if   [[ "$RES" == 256 && "$CFG" != 1.0 ]]; then TARGET_FID=2.50
+  elif [[ "$RES" == 256 ]];                  then TARGET_FID=6.26
+  elif [[ "$CFG" != 1.0 ]];                  then TARGET_FID=2.75
+  else                                            TARGET_FID=11.87
+  fi
+fi
 
 if [[ "$DRY" == 1 ]]; then
   echo "== fid_parity_gate: DRY WIRING MODE (no reference assets) =="

@@ -194,6 +194,10 @@ def _unpack_o(o, h):
         (4, 512, 72),   # encoder-512 shape family (grouped heads)
         (4, 1024, 32),  # decoder-1024 shape family (q-chunked)
         (2, 512, 8),    # minimal head_dim
+        # L=768: odd multiple of 256. Regression for the _plan bug where
+        # bq=512 could be picked with l % bq != 0, leaving the query
+        # tail of oT (and dq/dk/dv) unwritten.
+        (2, 768, 8),
     ],
 )
 def test_flash_big_forward_matches_reference(h, l, hd):
@@ -214,7 +218,7 @@ def test_flash_big_forward_matches_reference(h, l, hd):
     )
 
 
-@pytest.mark.parametrize("h,l,hd", [(2, 512, 72), (2, 1024, 32)])
+@pytest.mark.parametrize("h,l,hd", [(2, 512, 72), (2, 1024, 32), (2, 768, 8)])
 def test_flash_big_backward_matches_reference(h, l, hd):
     from maskdit_tpu.ops import flash_big
 
@@ -248,4 +252,8 @@ def test_flash_big_supports_window():
     assert flash_big.supports(16, 1024, 72)   # XL/2 encoder, unmasked 512
     assert not flash_big.supports(16, 128, 72)   # short L: flash_batched's job
     assert not flash_big.supports(16, 640, 72)   # L not a multiple of 256
+    # a chosen block_q must divide L (L=768 must not plan bq=512)
+    from maskdit_tpu.ops.flash_big import _plan
+    plan = _plan(2, 768, 2 * 8)
+    assert plan is not None and 768 % plan[1] == 0
     assert not flash_big.supports(16, 512, 12)   # head_dim not 8-aligned

@@ -207,7 +207,9 @@ def test_padded_train_step_single_compile_all_ratios():
     ))
     rng = jax.random.PRNGKey(1)
     losses = []
-    for ratio in (0.5, 0.375, 0.25, 0.0625):
+    # 0.0 is the regression shape: a cosine/linear schedule ends at ratio
+    # 0, where the MAE mask is all-zero — the term must vanish, not NaN
+    for ratio in (0.5, 0.375, 0.25, 0.0625, 0.0):
         batch = {
             "x": jax.random.normal(jax.random.fold_in(rng, 0), (4, 8, 8, 8)),
             "y": jax.nn.one_hot(jnp.arange(4) % 10, 10),

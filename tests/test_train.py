@@ -468,3 +468,16 @@ def test_peel_last_micro_matches_scanned():
         np.testing.assert_allclose(float(m0[k]), float(m1[k]), atol=1e-5)
     for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_default_use_flash_keys_on_seq_len():
+    """Accumulating SHORT-L configs disable the attention kernel (it
+    loses under accum memory pressure at 256-res); long-L (512-res)
+    configs stay on auto, where the blocked flash_big kernel is the
+    measured winner even under accumulation. Plain steps stay auto."""
+    from maskdit_tpu.train.trainer import default_use_flash
+
+    assert default_use_flash(1, 256) is None      # plain 256-res: auto
+    assert default_use_flash(24, 256) is False    # accum 256-res: off
+    assert default_use_flash(32, 1024) is None    # accum 512-res: auto
+    assert default_use_flash(1, 1024) is None     # plain 512-res: auto
