@@ -33,6 +33,10 @@ jax.config.update(
 
 A100_IMAGES_PER_SEC = 273.5  # reference 8xA100 throughput per GPU
 
+# Test hook: tests/test_bench_wiring.py swaps in DiT-S/2 to drive the
+# exact build/run/ladder code paths on CPU. Benchmarks always run XL/2.
+MODEL = os.environ.get("MASKDIT_BENCH_MODEL", "DiT-XL/2")
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
@@ -70,7 +74,7 @@ def build(
     )
     model = create_model(
         "edm", img_resolution=res, img_channels=4, num_classes=1000,
-        model_type="DiT-XL/2", use_decoder=True, mae_loss_coef=0.1,
+        model_type=MODEL, use_decoder=True, mae_loss_coef=0.1,
         dtype=jnp.bfloat16,
         use_flash=use_flash,
         remat=False if remat in ("none", "0") else remat,
@@ -135,7 +139,7 @@ V5E_PEAK_TFLOPS = 197.0
 def _train_flops_per_image() -> float:
     from maskdit_tpu.utils.profiling import maskdit_train_flops_per_image
 
-    return maskdit_train_flops_per_image("DiT-XL/2", 32, 0.5, True)
+    return maskdit_train_flops_per_image(MODEL, 32, 0.5, True)
 
 
 TRAIN_FLOPS_PER_IMAGE = _train_flops_per_image()  # ~393 GF (XL/2 @256, mask .5)
@@ -153,13 +157,14 @@ def run(
 
     flops_per_image = (
         TRAIN_FLOPS_PER_IMAGE if (mask_ratio, res) == (0.5, 32)
-        else maskdit_train_flops_per_image("DiT-XL/2", res, mask_ratio, True)
+        else maskdit_train_flops_per_image(MODEL, res, mask_ratio, True)
     )
     state, step, batch_data, rng = build(batch, grad_accum, mask_ratio, res)
     for i in range(warmup):
         state, metrics = step(state, batch_data, rng)
-    # honest sync: fetch a scalar derived from the full step
-    float(jax.device_get(metrics["loss"]))
+    if warmup:
+        # honest sync: fetch a scalar derived from the full step
+        float(jax.device_get(metrics["loss"]))
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step(state, batch_data, rng)
@@ -194,7 +199,7 @@ def run_sampling(batch: int = 50, num_steps: int = 40, res: int = 32) -> float:
 
     model = create_model(
         "edm", img_resolution=res, img_channels=4, num_classes=1000,
-        model_type="DiT-XL/2", use_decoder=True, mae_loss_coef=0.1,
+        model_type=MODEL, use_decoder=True, mae_loss_coef=0.1,
         dtype=jnp.bfloat16,
     )
     variables = jax.jit(
@@ -268,7 +273,7 @@ def run_sampling_e2e(
 
     model = create_model(
         "edm", img_resolution=res, img_channels=4, num_classes=1000,
-        model_type="DiT-XL/2", use_decoder=True, mae_loss_coef=0.1,
+        model_type=MODEL, use_decoder=True, mae_loss_coef=0.1,
         dtype=jnp.bfloat16,
     )
     variables = jax.jit(
