@@ -197,6 +197,75 @@ def iterate_rank_shards(
     yield from buf
 
 
+class StreamingWDSLoader:
+    """Infinite batch loader over ``iterate_rank_shards`` (streaming mode).
+
+    The trainer's drop-in alternative to ``DataLoader(WebDatasetLatents)``
+    for network storage: selected by ``data.streaming: true``. Yields the
+    same ``{'x': (B, C, H, W) float32, 'y': (B, K) float32}`` dicts,
+    rolling from epoch to epoch with per-epoch shard reshuffles. Records
+    left over when an epoch's shards run dry carry into the next epoch's
+    first batch (a continuous stream never drops a tail — the analogue of
+    the reference's infinite ``.repeat()`` WDS pipeline, train_wds.py:97).
+    """
+
+    def __init__(
+        self,
+        root: str,
+        batch_size: int,
+        label_dim: int = 1000,
+        seed: int = 0,
+        shuffle_buffer: int = 1000,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+    ):
+        import jax
+
+        self.root = root
+        self.batch_size = batch_size
+        self.label_dim = label_dim
+        self.seed = seed
+        self.shuffle_buffer = shuffle_buffer
+        self.rank = (
+            process_index if process_index is not None else jax.process_index()
+        )
+        self.world = (
+            process_count if process_count is not None else jax.process_count()
+        )
+        self.num_shards = len(list_shards(root))  # validates root up front
+        if self.rank >= self.num_shards:
+            # this rank owns zero shards EVERY epoch -> __iter__ would spin
+            # without ever yielding; surface the sizing error immediately
+            raise ValueError(
+                f"rank {self.rank} gets no shard: {self.num_shards} shards "
+                f"< {self.world} ranks — add shards or shrink the fleet"
+            )
+
+    def _collate(self, pending) -> dict[str, np.ndarray]:
+        from maskdit_tpu.data.datasets import encode_label
+
+        return {
+            "x": np.stack([z for z, _ in pending]).astype(np.float32),
+            "y": np.stack(
+                [encode_label(c, self.label_dim) for _, c in pending]
+            ).astype(np.float32),
+        }
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        epoch = 0
+        pending: list[tuple[np.ndarray, int]] = []
+        while True:
+            for item in iterate_rank_shards(
+                self.root, self.rank, self.world, epoch, self.seed,
+                self.shuffle_buffer,
+            ):
+                pending.append(item)
+                if len(pending) == self.batch_size:
+                    yield self._collate(pending)
+                    pending = []
+            epoch += 1
+
+
 def iterate_samples(shard_paths: list[str]) -> Iterator[tuple[str, np.ndarray, int]]:
     """Streaming iteration (for conversion pipelines)."""
     for path in shard_paths:

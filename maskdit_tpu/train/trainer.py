@@ -207,11 +207,29 @@ class Trainer:
             self.start_step = int(jax.device_get(self.state.step))
             mprint(f"resumed from step {self.start_step}")
 
-        self.dataset = build_dataset(config)
-        self.loader = DataLoader(
-            self.dataset, self.local_batch, shuffle=True, seed=seed,
-            num_workers=num_workers,
-        )
+        if config.data.get("streaming", False):
+            # shard-sequential WDS streaming (data.streaming: true): whole
+            # tars are read linearly per rank — the IO pattern network
+            # storage needs (reference train_wds.py:35-42). Only the wds
+            # category has a shard notion to stream.
+            if config.data.get("category") not in ("wds", "webdataset"):
+                raise ValueError(
+                    "data.streaming requires data.category: wds"
+                )
+            from maskdit_tpu.data.wds import StreamingWDSLoader
+
+            self.dataset = None
+            self.loader = StreamingWDSLoader(
+                config.data.root, self.local_batch,
+                label_dim=config.model.num_classes, seed=seed,
+                shuffle_buffer=config.data.get("shuffle_buffer", 1000),
+            )
+        else:
+            self.dataset = build_dataset(config)
+            self.loader = DataLoader(
+                self.dataset, self.local_batch, shuffle=True, seed=seed,
+                num_workers=num_workers,
+            )
         self.metrics = MetricLogger(
             self.exp_dir,
             use_wandb=use_wandb,
@@ -301,9 +319,13 @@ class Trainer:
         throughput = Throughput()
         running = []
         step = self.start_step
+        data_desc = (
+            f"{len(self.dataset):,} samples" if self.dataset is not None
+            else f"streaming {self.loader.num_shards} shards"
+        )
         mprint(
             f"training {self.exp_name}: global batch {self.global_batch}, "
-            f"{len(self.dataset):,} samples, max {self.max_steps} steps"
+            f"{data_desc}, max {self.max_steps} steps"
         )
 
         with self.mesh:

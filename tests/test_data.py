@@ -256,3 +256,56 @@ def test_lmdb_empty_and_single(tmp_path):
     r = lmdb_lite.Reader(str(tmp_path / "one"))
     assert r.get(b"k") == big
     r.close()
+
+
+def test_streaming_wds_loader(tmp_path):
+    """StreamingWDSLoader: trainer-contract batches ({'x','y'} float32,
+    one-hot labels), epoch rollover carries the tail instead of dropping
+    it, and undersized fleets fail fast."""
+    from maskdit_tpu.data.wds import StreamingWDSLoader, write_wds_shards
+
+    rng = np.random.RandomState(6)
+    records = [
+        (f"{i:07d}", np.full((3, 2, 2), float(i), np.float32), i % 5)
+        for i in range(20)
+    ]
+    outdir = str(tmp_path / "wds")
+    write_wds_shards(records, outdir, maxcount=10)  # 2 shards x 10
+
+    loader = StreamingWDSLoader(
+        outdir, batch_size=8, label_dim=5, seed=1, shuffle_buffer=4,
+        process_index=0, process_count=1,
+    )
+    it = iter(loader)
+    batches = [next(it) for _ in range(5)]  # 40 records = 2 full epochs
+    for b in batches:
+        assert b["x"].shape == (8, 3, 2, 2) and b["x"].dtype == np.float32
+        assert b["y"].shape == (8, 5) and b["y"].dtype == np.float32
+        # labels ride with their sample: value i carries one-hot i % 5
+        ids = b["x"][:, 0, 0, 0].astype(int)
+        np.testing.assert_array_equal(np.argmax(b["y"], axis=1), ids % 5)
+    # 20 records per epoch with batch 8: the 4-record tail carries into
+    # the next epoch's first batch — across 2 epochs every record shows
+    # exactly twice
+    seen = np.concatenate([b["x"][:, 0, 0, 0].astype(int) for b in batches])
+    assert sorted(seen.tolist()) == sorted(list(range(20)) * 2)
+
+    # rank 1 of world 2 gets the other shard
+    other = StreamingWDSLoader(
+        outdir, batch_size=10, label_dim=5, seed=1,
+        process_index=1, process_count=2,
+    )
+    mine = StreamingWDSLoader(
+        outdir, batch_size=10, label_dim=5, seed=1,
+        process_index=0, process_count=2,
+    )
+    a = next(iter(mine))["x"][:, 0, 0, 0].astype(int)
+    b = next(iter(other))["x"][:, 0, 0, 0].astype(int)
+    assert sorted(np.concatenate([a, b]).tolist()) == list(range(20))
+
+    # 3 ranks for 2 shards: the shardless rank must fail fast, not spin
+    with pytest.raises(ValueError, match="no shard"):
+        StreamingWDSLoader(
+            outdir, batch_size=4, label_dim=5,
+            process_index=2, process_count=3,
+        )
