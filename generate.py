@@ -215,11 +215,28 @@ def main() -> None:
         f"generating {len(args.seeds)} images to {args.outdir} "
         f"(cfg={args.cfg_scale}, steps={args.num_steps})"
     )
+    feat_fn = None
+    if args.feat_path and args.ext_feature_dim > 0:
+        # external-feature conditioning: draw (feature, matching label)
+        # rows from the feature LMDB per batch. The reference ships the
+        # same retrieval utility but hardwires feat=None in its loop
+        # ("support random only", sample.py:269-270); here the path is
+        # actually driveable. Seeded by the batch's first seed so any
+        # rank/world split retrieves identical rows for identical batches.
+        from maskdit_tpu.data.features import retrieve_n_features
+
+        feat_fn = lambda batch_seeds: retrieve_n_features(
+            len(batch_seeds), args.feat_path, args.ext_feature_dim,
+            args.num_classes, sample_mode=args.sample_mode,
+            seed=int(batch_seeds[0]),
+        )
+
     generate_with_params(
         model, params, args.seeds, args.outdir, sampler_cfg,
         vae_apply=vae_apply, class_idx=args.class_idx,
         max_batch_size=args.max_batch_size, rank=rank, world=world,
         subdirs=args.subdirs, save_latents=args.no_decode,
+        feat_fn=feat_fn,
     )
     mprint("Done!")
     if logger is not None:

@@ -71,7 +71,7 @@ def make_sample_fn(
     # params enter as an explicit jit argument: closure-captured arrays
     # would be inlined as HLO *constants* (hundreds of MB for real models).
     @jax.jit
-    def sample(params, latents, labels, rng):
+    def sample(params, latents, labels, rng, feat):
         def denoise(x, sigma):
             return model.apply(
                 {"params": params},
@@ -79,13 +79,17 @@ def make_sample_fn(
                 jnp.full((x.shape[0],), sigma, jnp.float32),
                 labels,
                 cfg_scale=cfg.cfg_scale,
+                feat=feat,
             )["x"]
 
         churn_rng = rng if cfg.S_churn > 0 else None
         return sampler(denoise, latents, rng=churn_rng, **kwargs)
 
-    def bound(latents, labels, rng):
-        return sample(params, latents, labels, rng)
+    def bound(latents, labels, rng, feat=None):
+        # feat: optional (B, ext_feature_dim) conditioning rows — the
+        # reference samplers forward feat= to the net the same way
+        # (sample.py:56,172); None is a zero-leaf pytree under jit.
+        return sample(params, latents, labels, rng, feat)
 
     return bound
 
@@ -172,11 +176,18 @@ def generate_with_params(
     world: int = 1,
     subdirs: bool = False,
     save_latents: bool = False,
+    feat_fn: Optional[Callable] = None,
 ) -> Optional[np.ndarray]:
     """Generate images for ``seeds``; returns stacked images if outdir None.
 
     Seed batching mirrors sample.py:232-235: split into equal batches, then
     rank-strided assignment.
+
+    ``feat_fn(batch_seeds) -> (features (B, F), one-hot labels (B, K))``
+    enables external-feature conditioning (models built with
+    ext_feature_dim > 0): the retrieved labels REPLACE the per-seed random
+    labels because a feature row and its class id come from the same
+    training sample (reference retrieve_n_features, sample.py:192-227).
     """
     seeds = list(seeds)
     num_batches = (
@@ -236,8 +247,14 @@ def generate_with_params(
         else:
             labels = jnp.zeros((len(batch_seeds), 0))
 
+        feat = None
+        if feat_fn is not None:
+            feat_np, labels_np = feat_fn(batch_seeds.tolist())
+            feat = jnp.asarray(feat_np)
+            labels = jnp.asarray(labels_np)
+
         rng = jax.random.PRNGKey(int(batch_seeds[0]))
-        z = sample_fn(latents, labels, rng)  # async dispatch
+        z = sample_fn(latents, labels, rng, feat)  # async dispatch
         decoded = vae_apply(z) if vae_apply is not None else None
 
         if pending is not None:

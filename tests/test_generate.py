@@ -129,3 +129,61 @@ def test_resolve_class_outdir(tmp_path):
     outdir, name = resolve_class_outdir(str(ld), 207, str(tmp_path / "samples"))
     assert name == "golden_retriever"
     assert outdir == str(tmp_path / "samples" / "golden_retriever")
+
+
+def test_generate_with_external_features(tmp_path):
+    """feat_fn plumbing: a model built with ext_feature_dim > 0 samples
+    with retrieved (feature, matching-label) rows; the features actually
+    condition the output (reference samplers forward feat= the same way,
+    sample.py:56,172 — the reference CLI hardwires feat=None, ours
+    drives it)."""
+    from maskdit_tpu.data.features import retrieve_n_features
+    from maskdit_tpu.data.lmdb_lite import Writer
+
+    dim, k = 8, 6
+    root = tmp_path / "feats" / "train"
+    rng = np.random.RandomState(0)
+    with Writer(str(root)) as w:
+        for i in range(12):
+            w.put(f"feat-{i}", rng.randn(dim).astype(np.float32).tobytes())
+            w.put(f"y-{i}", str(i % k))
+        w.put("length", str(24))  # reference stores length = 2x pool
+
+    model = create_model(
+        "edm", img_resolution=8, img_channels=4, num_classes=k,
+        model_type="DiT-S/2", use_decoder=True, mae_loss_coef=0.1,
+        dtype=jnp.float32, use_flash=False, ext_feature_dim=dim,
+    )
+    x = jnp.zeros((1, 4, 8, 8))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        x, jnp.ones((1,)), jnp.zeros((1, k)),
+        feat=jnp.zeros((1, dim)),
+    )["params"]
+    # adaLN-Zero makes ALL conditioning a no-op at init (modulation
+    # projections start at zero); perturb params so feat can show up
+    leaves, treedef = jax.tree.flatten(params)
+    params = jax.tree.unflatten(treedef, [
+        p + 0.03 * jax.random.normal(jax.random.fold_in(
+            jax.random.PRNGKey(5), i), p.shape, p.dtype)
+        for i, p in enumerate(leaves)
+    ])
+
+    def feat_fn(batch_seeds):
+        return retrieve_n_features(
+            len(batch_seeds), str(tmp_path / "feats"), dim, k,
+            sample_mode="rand_full", seed=int(batch_seeds[0]),
+        )
+
+    cfg = SamplerConfig(num_steps=2, cfg_scale=1.5)
+    with_feat = generate_with_params(
+        model, params, list(range(4)), None, cfg, max_batch_size=4,
+        feat_fn=feat_fn,
+    )
+    assert with_feat.shape == (4, 4, 8, 8)
+    assert np.isfinite(with_feat).all()
+
+    without = generate_with_params(
+        model, params, list(range(4)), None, cfg, max_batch_size=4,
+    )
+    assert not np.allclose(with_feat, without), "features had no effect"
