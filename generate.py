@@ -126,6 +126,11 @@ def main() -> None:
     parser.add_argument("--sample_mode", type=str, default="rand_full",
                         choices=["rand_full", "rand_repeat", "rand_y"])
     parser.add_argument("--use_strict_load", type=str2bool, default=True)
+    parser.add_argument("--export_aot", type=str, default="",
+                        help="instead of sampling, serialize the compiled "
+                        "sampler (jax.export StableHLO) for batch "
+                        "--max_batch_size to this path and exit; reload "
+                        "with maskdit_tpu.sampling.aot.load_sampler")
     parser.add_argument("--fp32", action="store_true",
                         help="run the denoiser in fp32 (parity mode)")
     args = parser.parse_args()
@@ -158,16 +163,17 @@ def main() -> None:
         )
         print(f"sampling class {args.class_idx} ({class_name}) "
               f"into {args.outdir}")
-    elif args.outdir is None:
+    elif args.outdir is None and not args.export_aot:
         parser.error("one of --outdir or --label_dict is required")
 
     init_distributed()
     rank = jax.process_index()
     world = jax.process_count()
 
-    os.makedirs(args.outdir, exist_ok=True)
+    if args.outdir is not None:
+        os.makedirs(args.outdir, exist_ok=True)
     logger = None
-    if rank == 0:
+    if rank == 0 and args.outdir is not None:
         logger = Logger(os.path.join(args.outdir, "log.txt"), "a+")
 
     if args.fp32:
@@ -189,6 +195,31 @@ def main() -> None:
     params = load_params(args, model)
     mprint(f"loaded weights from {args.ckpt_path}")
 
+    sampler_cfg = SamplerConfig(
+        num_steps=args.num_steps,
+        cfg_scale=args.cfg_scale,
+        S_churn=args.S_churn,
+        solver=args.solver,
+        discretization=args.discretization,
+        schedule=args.schedule,
+        scaling=args.scaling,
+    )
+
+    if args.export_aot:
+        # export needs no VAE: the blob is the denoiser scan only
+        from maskdit_tpu.sampling.aot import export_sampler
+
+        blob = export_sampler(model, params, sampler_cfg, args.max_batch_size)
+        with open(args.export_aot, "wb") as f:
+            f.write(blob)
+        mprint(
+            f"exported compiled sampler (batch {args.max_batch_size}, "
+            f"{len(blob)/1e6:.1f} MB) to {args.export_aot}"
+        )
+        if logger is not None:
+            logger.close()
+        return
+
     vae_apply = None
     if not args.no_decode:
         from maskdit_tpu.models.vae import AutoencoderKL
@@ -202,15 +233,6 @@ def main() -> None:
         )
         vae_apply = lambda z: decode(vae_params, z)
 
-    sampler_cfg = SamplerConfig(
-        num_steps=args.num_steps,
-        cfg_scale=args.cfg_scale,
-        S_churn=args.S_churn,
-        solver=args.solver,
-        discretization=args.discretization,
-        schedule=args.schedule,
-        scaling=args.scaling,
-    )
     mprint(
         f"generating {len(args.seeds)} images to {args.outdir} "
         f"(cfg={args.cfg_scale}, steps={args.num_steps})"
