@@ -239,6 +239,11 @@ def main() -> None:
     )
     feat_fn = None
     if args.feat_path and args.ext_feature_dim > 0:
+        if args.class_idx is not None:
+            parser.error(
+                "--class_idx cannot combine with --feat_path: retrieved "
+                "feature rows carry their own matching class labels"
+            )
         # external-feature conditioning: draw (feature, matching label)
         # rows from the feature LMDB per batch. The reference ships the
         # same retrieval utility but hardwires feat=None in its loop
