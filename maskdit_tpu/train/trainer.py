@@ -229,6 +229,10 @@ class Trainer:
             self.loader = DataLoader(
                 self.dataset, self.local_batch, shuffle=True, seed=seed,
                 num_workers=num_workers,
+                # reference train_wds.py --resample (iid shard/record
+                # draws with replacement); here per-record with a
+                # rank-disjoint stride
+                resample=config.data.get("resampled", False),
             )
         self.metrics = MetricLogger(
             self.exp_dir,

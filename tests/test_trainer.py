@@ -115,8 +115,10 @@ def test_trainer_pad_to_max_single_step_cache(tmp_path):
     cfg.model.mask_ratio = 0.5
     cfg.model.mask_ratio_min = 0.1
     cfg.train.max_num_steps = 4
+    cfg.data.resampled = True  # reference --resample; must reach the loader
 
     trainer = Trainer(cfg, results_dir=str(tmp_path), seed=0, num_workers=1)
+    assert trainer.loader.resample is True
     assert trainer.train() == 4
     assert list(trainer._step_cache) == ["padded"]
 
