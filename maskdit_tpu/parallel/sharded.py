@@ -17,7 +17,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from maskdit_tpu.models.precond import EDMPrecond
 from maskdit_tpu.parallel import mesh as mesh_lib

@@ -13,7 +13,6 @@ Differences from the reference, by TPU design:
 from __future__ import annotations
 
 import os
-import time
 from typing import Any, Optional
 
 import jax
