@@ -198,6 +198,7 @@ def _unpack_o(o, h):
         # bq=512 could be picked with l % bq != 0, leaving the query
         # tail of oT (and dq/dk/dv) unwritten.
         (2, 768, 8),
+        (2, 1024, 72),  # unmasked-finetune-512 encoder shape family
     ],
 )
 def test_flash_big_forward_matches_reference(h, l, hd):
@@ -218,7 +219,9 @@ def test_flash_big_forward_matches_reference(h, l, hd):
     )
 
 
-@pytest.mark.parametrize("h,l,hd", [(2, 512, 72), (2, 1024, 32), (2, 768, 8)])
+@pytest.mark.parametrize(
+    "h,l,hd", [(2, 512, 72), (2, 1024, 32), (2, 768, 8), (2, 1024, 72)]
+)
 def test_flash_big_backward_matches_reference(h, l, hd):
     from maskdit_tpu.ops import flash_big
 
