@@ -24,6 +24,13 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get("MASKDIT_COMPILE_CACHE", "/tmp/jax_maskdit_cache"),
 )
+if os.environ.get("MASKDIT_PLATFORM"):
+    # force a backend (e.g. cpu for debugging / CI): this environment's
+    # sitecustomize ignores JAX_PLATFORMS, so the config route is the
+    # only one that works. CPU multi-process needs gloo collectives.
+    jax.config.update("jax_platforms", os.environ["MASKDIT_PLATFORM"])
+    if os.environ["MASKDIT_PLATFORM"] == "cpu":
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
 from maskdit_tpu.parallel import init_distributed, is_main_process, mprint
 from maskdit_tpu.utils import config as config_lib
