@@ -7,7 +7,8 @@ Usage:
       python tools/trace_capture.py OUT
 
 Env knobs mirror tools/perf_probe.py (PROBE_RES latent res, PROBE_BATCH,
-PROBE_GA, PROBE_AMP, PROBE_ACC, PROBE_FLASH, PROBE_REMAT). Warms up, then
+PROBE_GA, PROBE_AMP, PROBE_ACC, PROBE_FLASH, PROBE_REMAT); PROBE_MODE=sample
+traces the CFG EDM sampler instead (PROBE_STEPS, PROBE_BATCH). Warms up, then
 traces N_STEPS (default 3) steps. Parse with tools/trace_report.py.
 """
 
@@ -28,9 +29,56 @@ jax.config.update(
 )
 
 
+def _sample_main(out_dir: str, n_steps: int) -> None:
+    """PROBE_MODE=sample: trace the inference path (CFG EDM sampler).
+
+    Knobs: PROBE_RES latent res (32/64), PROBE_BATCH (default 128/32),
+    PROBE_STEPS sampler steps (default 40)."""
+    from maskdit_tpu.models import create_model
+    from maskdit_tpu.sampling.generate import SamplerConfig, make_sample_fn
+
+    res = int(os.environ.get("PROBE_RES", "32"))
+    batch = int(os.environ.get("PROBE_BATCH", "128" if res == 32 else "32"))
+    num_steps = int(os.environ.get("PROBE_STEPS", "40"))
+    model = create_model(
+        "edm", img_resolution=res, img_channels=4, num_classes=1000,
+        model_type="DiT-XL/2", use_decoder=True, mae_loss_coef=0.1,
+        dtype=jnp.bfloat16,
+    )
+    variables = jax.jit(
+        lambda r: model.init(
+            {"params": r}, jnp.zeros((1, 4, res, res)), jnp.ones((1,)),
+            jnp.zeros((1, 1000)),
+        )
+    )(jax.random.PRNGKey(0))
+    fn = make_sample_fn(
+        model, variables["params"],
+        SamplerConfig(num_steps=num_steps, cfg_scale=1.5),
+    )
+    latents = jax.random.normal(jax.random.PRNGKey(1), (batch, 4, res, res))
+    labels = jax.nn.one_hot(jnp.arange(batch) % 1000, 1000)
+    rng = jax.random.PRNGKey(2)
+    t0 = time.perf_counter()
+    z = fn(latents, labels, rng)
+    float(jnp.sum(z.astype(jnp.float32)))
+    print(f"compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    z = fn(latents, labels, rng)
+    float(jnp.sum(z.astype(jnp.float32)))
+    print(f"steady: {(time.perf_counter()-t0)*1e3:.0f} ms/batch "
+          f"({batch/(time.perf_counter()-t0):.2f} imgs/s)", flush=True)
+    with jax.profiler.trace(out_dir):
+        for _ in range(n_steps):
+            z = fn(latents, labels, rng)
+        float(jnp.sum(z.astype(jnp.float32)))
+    print(f"trace written to {out_dir}", flush=True)
+
+
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/trace_step"
     n_steps = int(os.environ.get("N_STEPS", "3"))
+    if os.environ.get("PROBE_MODE") == "sample":
+        return _sample_main(out_dir, max(1, n_steps // 3))
 
     from tools.perf_probe import build
     from maskdit_tpu.train.state import make_train_step
