@@ -187,3 +187,41 @@ def test_generate_with_external_features(tmp_path):
         model, params, list(range(4)), None, cfg, max_batch_size=4,
     )
     assert not np.allclose(with_feat, without), "features had no effect"
+
+
+def test_generate_cli_no_decode(tmp_path, monkeypatch):
+    """generate.py main() end to end on CPU: orbax EMA checkpoint ->
+    latents written as .npy (--no_decode skips the VAE)."""
+    import sys
+
+    import orbax.checkpoint as ocp
+
+    import generate as generate_cli
+
+    model = create_model(
+        "edm", img_resolution=8, img_channels=4, num_classes=6,
+        model_type="DiT-S/2", use_decoder=True, mae_loss_coef=0.1,
+        dtype=jnp.float32, use_flash=False,
+    )
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 4, 8, 8)),
+        jnp.ones((1,)), jnp.zeros((1, 6)),
+    )["params"]
+    ckpt_dir = tmp_path / "ckpt"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(ckpt_dir), {"ema_params": jax.device_get(params)})
+    ckptr.close()
+
+    outdir = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "generate.py", "--ckpt_path", str(ckpt_dir),
+        "--outdir", str(outdir), "--seeds", "0-3", "--no_decode",
+        "--model_type", "DiT-S/2", "--image_size", "8",
+        "--num_classes", "6", "--use_decoder", "true",
+        "--mae_loss_coef", "0.1", "--fp32",
+        "--num_steps", "2", "--cfg_scale", "1.5", "--max_batch_size", "4",
+    ])
+    generate_cli.main()
+
+    lat = np.load(str(outdir / "latents_000000.npy"))
+    assert lat.shape == (4, 4, 8, 8) and np.isfinite(lat).all()
