@@ -90,9 +90,15 @@ def build(
     # fp32, rounding bounded by tests/test_fused_adam.py. Override with
     # MASKDIT_BENCH_MU (empty string = exact fp32 state).
     mu_default = "bfloat16" if grad_accum > 1 else ""
+    # MASKDIT_BENCH_NU=bfloat16 additionally stores Adam's second moment
+    # in bf16 with stochastic rounding (frees another 1.35 GB; see
+    # ops/fused_adam.py:stochastic_round_bf16). Off by default pending
+    # a measured win at the next memory-wall micro.
+    nu_env = os.environ.get("MASKDIT_BENCH_NU", "") or None
     opt = make_optimizer(
         1e-4, global_batch_size=batch, fused=fused,
         moment_dtype=os.environ.get("MASKDIT_BENCH_MU", mu_default) or None,
+        nu_dtype=nu_env,
     )
     state = jax.jit(
         lambda r: create_train_state(model, r, opt, batch_size=1),

@@ -41,6 +41,35 @@ LANES = 128
 BLOCK_ROWS = int(os.environ.get("MASKDIT_FUSED_ADAM_BLOCK_ROWS", "512"))
 
 
+def stochastic_round_bf16(x: jax.Array, key: jax.Array) -> jax.Array:
+    """fp32 -> bf16 with stochastic rounding (unbiased narrow storage).
+
+    Adds uniform random bits to the 16 low mantissa bits of the fp32
+    representation and truncates: each value rounds up with probability
+    equal to its fractional distance between the two bracketing bf16
+    values, so E[SR(x)] == x. This is what makes a *narrow-stored* EMA
+    with per-step relative increments BELOW the storage resolution
+    track its fp32 reference in expectation — plain round-to-nearest
+    freezes such an accumulator (the update rounds back to the old
+    value every step, a systematic bias).
+
+    Used for Adam's second moment (increment (1-b2) = 0.1% vs bf16's
+    ~0.4% resolution). The first moment (increment 10%) does not need
+    it, and the model EMA (increment 1e-4) must NOT use it: SR noise is
+    re-injected into the stored value every step, and an EMA with decay
+    d accumulates it to a stationary std of ulp/sqrt(12*(1-d^2)) —
+    ~2.5% relative for nu at b2=0.999 (benign under the sqrt, bounded
+    by tests/test_fused_adam.py::test_bf16_nu_sr_tracks_fp32) but ~8%
+    for the model EMA at 0.9999 (ruinous). nu-only, by design.
+    """
+    bits = jax.random.bits(key, x.shape, jnp.uint32)
+    u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    u = (u + (bits & jnp.uint32(0xFFFF))) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(
+        (u >> 16).astype(jnp.uint16), jnp.bfloat16
+    )
+
+
 def _adam_ema_kernel(b1, b2, eps, with_ema,
                      s_ref, g_ref, p_ref, m_ref, v_ref, e_ref,
                      p_out, m_out, v_out, e_out):
@@ -96,15 +125,31 @@ def _leaf_update_pallas(scalars, g, p, m, v, e, *, b1, b2, eps, with_ema,
     return new_p, new_m, new_v, new_e
 
 
-def _leaf_update_jnp(scalars, g, p, m, v, e, *, b1, b2, eps, with_ema):
-    """Fallback for tiny/ragged leaves — same math, plain XLA."""
+def _leaf_update_jnp(scalars, g, p, m, v, e, *, b1, b2, eps, with_ema,
+                     nu_key=None):
+    """Fallback for tiny/ragged leaves — same math, plain XLA.
+
+    ``nu_key`` (required when v is stored narrower than fp32): PRNG key
+    for stochastically rounding the updated second moment back into its
+    storage dtype — see :func:`stochastic_round_bf16` for why
+    round-to-nearest is wrong there.
+    """
     lr, bc1, bc2, d = (scalars[0, i] for i in range(4))
     g = g.astype(jnp.float32)
     m_new = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
     v_new = b2 * v.astype(jnp.float32) + (1.0 - b2) * g * g
     p = p - lr * (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
     e = d * e + (1.0 - d) * p if with_ema else e
-    return p, m_new.astype(m.dtype), v_new.astype(v.dtype), e
+    if v.dtype == jnp.float32:
+        v_store = v_new
+    elif nu_key is not None:
+        v_store = stochastic_round_bf16(v_new, nu_key)
+    else:
+        raise ValueError(
+            "narrow nu storage requires stochastic rounding (nu_key); "
+            "round-to-nearest freezes the moment at (1-b2) increments"
+        )
+    return p, m_new.astype(m.dtype), v_store, e
 
 
 def fused_adam_ema(
@@ -122,6 +167,7 @@ def fused_adam_ema(
     ema_decay: Union[float, jax.Array] = 0.9999,
     with_ema: bool = True,
     mode: Optional[str] = None,  # 'pallas' | 'jnp' | 'interpret' | None=auto
+    nu_sr_key: Optional[jax.Array] = None,  # required when nu is stored bf16
 ) -> tuple[Any, Any, Any, Any]:
     """Apply the fused update across a pytree.
 
@@ -149,15 +195,24 @@ def fused_adam_ema(
         jnp.asarray(ema_decay, jnp.float32),
     ]).reshape(1, 4)
 
-    def leaf(g, p, m, v, e):
-        if mode != "jnp" and p.size >= LANES and p.size % LANES == 0:
+    def leaf(i, g, p, m, v, e):
+        narrow_nu = v.dtype != jnp.float32
+        nu_key = (
+            jax.random.fold_in(nu_sr_key, i)
+            if (narrow_nu and nu_sr_key is not None) else None
+        )
+        # the Pallas kernel writes v with round-to-nearest, which is the
+        # wrong rounding for narrow nu storage — route those leaves jnp
+        if (not narrow_nu and mode != "jnp"
+                and p.size >= LANES and p.size % LANES == 0):
             return _leaf_update_pallas(
                 scalars, g, p, m, v, e,
                 b1=b1, b2=b2, eps=eps, with_ema=with_ema,
                 interpret=interpret,
             )
         return _leaf_update_jnp(
-            scalars, g, p, m, v, e, b1=b1, b2=b2, eps=eps, with_ema=with_ema
+            scalars, g, p, m, v, e, b1=b1, b2=b2, eps=eps, with_ema=with_ema,
+            nu_key=nu_key,
         )
 
     flat_g, treedef = jax.tree_util.tree_flatten(grads)
@@ -165,11 +220,77 @@ def fused_adam_ema(
     flat_m = treedef.flatten_up_to(mu)
     flat_v = treedef.flatten_up_to(nu)
     flat_e = treedef.flatten_up_to(ema)
-    outs = [leaf(*args) for args in zip(flat_g, flat_p, flat_m, flat_v, flat_e)]
+    outs = [
+        leaf(i, *args)
+        for i, args in enumerate(zip(flat_g, flat_p, flat_m, flat_v, flat_e))
+    ]
     unflat = lambda i: jax.tree_util.tree_unflatten(
         treedef, [o[i] for o in outs]
     )
     return unflat(0), unflat(1), unflat(2), unflat(3)
+
+
+def adam_sr_nu(
+    learning_rate: Union[float, Callable[[jax.Array], jax.Array]],
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    mu_dtype: Optional[Any] = None,
+) -> optax.GradientTransformation:
+    """optax.adam with the second moment stored bf16 via stochastic rounding.
+
+    The staged-optax counterpart of ``FusedAdamEma(nu_dtype='bfloat16')``
+    for the sharded (FSDP/TP) path, where the fused single-sweep update
+    is not used: state tree shape and math are identical to
+    ``optax.adam`` (``ScaleByAdamState``; bias-corrected, eps outside
+    the sqrt), only nu's STORAGE narrows. The SR key is derived from the
+    step count (deterministic across resume), folded per leaf;
+    ``jax_threefry_partitionable`` (default on) keeps the random-bit
+    generation sharded under pjit, so no gathers are introduced.
+    """
+    sr_dtype = jnp.bfloat16
+    mu_cast = (lambda m: m.astype(mu_dtype)) if mu_dtype else (lambda m: m)
+
+    def init_fn(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(lambda p: mu_cast(jnp.zeros_like(p)), params),
+            nu=jax.tree.map(
+                lambda p: jnp.zeros(p.shape, sr_dtype), params
+            ),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count_inc = state.count + 1
+        t = count_inc.astype(jnp.float32)
+        bc1 = 1.0 - jnp.asarray(b1, jnp.float32) ** t
+        bc2 = 1.0 - jnp.asarray(b2, jnp.float32) ** t
+        base_key = jax.random.fold_in(jax.random.PRNGKey(0x6E75), state.count)
+
+        flat_g, treedef = jax.tree_util.tree_flatten(updates)
+        flat_m = treedef.flatten_up_to(state.mu)
+        flat_v = treedef.flatten_up_to(state.nu)
+        out_u, out_m, out_v = [], [], []
+        for i, (g, m, v) in enumerate(zip(flat_g, flat_m, flat_v)):
+            g = g.astype(jnp.float32)
+            m_new = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
+            v_new = b2 * v.astype(jnp.float32) + (1.0 - b2) * g * g
+            out_u.append((m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps))
+            out_m.append(mu_cast(m_new))
+            out_v.append(
+                stochastic_round_bf16(v_new, jax.random.fold_in(base_key, i))
+            )
+        unflat = lambda leaves: jax.tree_util.tree_unflatten(treedef, leaves)
+        new_state = optax.ScaleByAdamState(
+            count=count_inc, mu=unflat(out_m), nu=unflat(out_v)
+        )
+        return unflat(out_u), new_state
+
+    return optax.chain(
+        optax.GradientTransformation(init_fn, update_fn),
+        optax.scale_by_learning_rate(learning_rate),
+    )
 
 
 class FusedAdamEma:
@@ -190,6 +311,7 @@ class FusedAdamEma:
         eps: float = 1e-8,
         default_mode: Optional[str] = None,  # see fused_adam_ema(mode=...)
         mu_dtype: Optional[Any] = None,  # narrower first-moment storage
+        nu_dtype: Optional[Any] = None,  # narrower second moment (SR, bf16)
     ):
         self.learning_rate = learning_rate
         self.b1, self.b2, self.eps = b1, b2, eps
@@ -198,21 +320,50 @@ class FusedAdamEma:
         # in the given dtype (e.g. bf16 halves its HBM: 1.35 GB for XL/2)
         # while all update math stays fp32. The m update's per-step
         # relative increment is (1-b1)=10%, far above bf16's ~0.4%
-        # resolution, so rounding is benign — unlike nu (increment 0.1%)
-        # or the EMA (1e-4), which stay fp32. Deviation from the
-        # reference's fp32 apex FusedAdam state; opt-in, bounded by
+        # resolution, so round-to-nearest is benign there. Deviation from
+        # the reference's fp32 apex FusedAdam state; opt-in, bounded by
         # tests/test_fused_adam.py::test_bf16_mu_tracks_fp32.
+        #
+        # nu_dtype stores the SECOND moment narrow (another 1.35 GB for
+        # XL/2) — but nu's per-step increment (1-b2)=0.1% is BELOW bf16
+        # resolution, so it is written back with STOCHASTIC rounding
+        # (see stochastic_round_bf16) keyed deterministically off the
+        # Adam step count: unbiased in expectation, ~2.5% stationary
+        # relative noise in nu (~1.25% under the sqrt). The model EMA
+        # stays exact fp32 always (SR there would accumulate ~8% noise).
+        self.nu_dtype = jnp.dtype(nu_dtype) if nu_dtype is not None else None
+        if self.nu_dtype is not None and self.nu_dtype != jnp.bfloat16:
+            raise ValueError(
+                f"nu_dtype={nu_dtype}: only bfloat16 narrow nu storage is "
+                "implemented (stochastic rounding targets bf16)"
+            )
         self._optax = optax.adam(
             learning_rate=learning_rate, b1=b1, b2=b2, eps=eps,
             mu_dtype=mu_dtype,
         )
 
     def init(self, params: Any):
-        return self._optax.init(params)
+        state = self._optax.init(params)
+        if self.nu_dtype is not None:
+            adam = state[0]
+            state = (
+                adam._replace(
+                    nu=jax.tree.map(
+                        lambda v: v.astype(self.nu_dtype), adam.nu
+                    )
+                ),
+                *state[1:],
+            )
+        return state
 
     # optax fallback surface so the object can stand in for a
     # GradientTransformation where the fused path isn't wanted.
     def update(self, grads, state, params=None):
+        if self.nu_dtype is not None:
+            raise NotImplementedError(
+                "nu_dtype requires the fused update_with_ema path (plain "
+                "optax would re-widen nu and skip stochastic rounding)"
+            )
         return self._optax.update(grads, state, params)
 
     def update_with_ema(
@@ -232,12 +383,19 @@ class FusedAdamEma:
             if callable(self.learning_rate)
             else self.learning_rate
         )
+        # SR key is derived from the step count: deterministic across
+        # resume (same count -> same rounding), fresh bits every step
+        nu_sr_key = (
+            jax.random.fold_in(jax.random.PRNGKey(0x6E75), adam_state.count)
+            if self.nu_dtype is not None else None
+        )
         new_p, new_m, new_v, new_e = fused_adam_ema(
             grads, params, adam_state.mu, adam_state.nu, ema,
             lr=jnp.asarray(lr), count_inc=count_inc,
             b1=self.b1, b2=self.b2, eps=self.eps,
             ema_decay=ema_decay, with_ema=with_ema,
             mode=mode or self.default_mode,
+            nu_sr_key=nu_sr_key,
         )
         new_adam = adam_state._replace(count=count_inc, mu=new_m, nu=new_v)
         # the trailing transforms (lr scaling / empty state) are stateless

@@ -58,6 +58,7 @@ def make_optimizer(
     weight_decay: float = 0.0,
     fused: Any = False,  # False | True | 'pallas' | 'jnp'
     moment_dtype: Any = None,  # e.g. 'bfloat16': narrower Adam mu storage
+    nu_dtype: Any = None,  # 'bfloat16': narrower Adam nu (stochastic rounding)
 ):
     """AdamW matching apex FusedAdam(adam_w_mode=True, wd=0) + kimg warmup
     (reference: train.py:141, 223-226).
@@ -74,8 +75,22 @@ def make_optimizer(
     second moment and EMA stay fp32 (their per-step increments are at or
     below bf16 resolution). Rounding bounded by
     tests/test_fused_adam.py::test_bf16_mu_tracks_fp32.
+
+    ``nu_dtype='bfloat16'`` additionally stores the SECOND moment in bf16
+    (another 1.35 GB for XL/2). nu's per-step increment (1-b2)=0.1% is
+    below bf16 resolution, so the narrow store uses STOCHASTIC rounding
+    (unbiased; ~2.5% stationary relative noise in nu — see
+    ops/fused_adam.py:stochastic_round_bf16). With ``fused`` it rides the
+    single-sweep update; without (the sharded FSDP/TP path) it builds
+    :func:`~maskdit_tpu.ops.fused_adam.adam_sr_nu`, the staged-optax
+    equivalent. The EMA always stays exact fp32.
     """
     mu_dtype = jnp.dtype(moment_dtype) if moment_dtype is not None else None
+    if nu_dtype is not None and weight_decay != 0.0:
+        raise NotImplementedError(
+            "nu_dtype with weight_decay: the reference trains at wd=0 "
+            "(configs/train/*.yaml); chain add_decayed_weights if needed"
+        )
     if rampup_kimg > 0:
         schedule = lambda step: lr_with_rampup(
             step, base_lr, global_batch_size, rampup_kimg
@@ -93,6 +108,16 @@ def make_optimizer(
         return FusedAdamEma(
             learning_rate=schedule, b1=betas[0], b2=betas[1], eps=eps,
             default_mode=fused if isinstance(fused, str) else None,
+            mu_dtype=mu_dtype,
+            nu_dtype=jnp.dtype(nu_dtype) if nu_dtype is not None else None,
+        )
+    if nu_dtype is not None:
+        from maskdit_tpu.ops.fused_adam import adam_sr_nu
+
+        if jnp.dtype(nu_dtype) != jnp.bfloat16:
+            raise ValueError(f"nu_dtype={nu_dtype}: only bfloat16 supported")
+        return adam_sr_nu(
+            learning_rate=schedule, b1=betas[0], b2=betas[1], eps=eps,
             mu_dtype=mu_dtype,
         )
     if weight_decay == 0.0:

@@ -174,9 +174,12 @@ class Trainer:
             global_batch_size=self.global_batch,
             rampup_kimg=config.train.get("lr_rampup_kimg", 0) or 0,
             fused=self.fused_adam,
-            # train.moment_dtype: 'bfloat16' stores Adam mu narrower
-            # (opt-in approximation; see make_optimizer docstring)
+            # train.moment_dtype: 'bfloat16' stores Adam mu narrower;
+            # train.nu_dtype: 'bfloat16' stores Adam nu narrower with
+            # stochastic rounding (fused-only). Both are opt-in
+            # approximations; see the make_optimizer docstring.
             moment_dtype=config.train.get("moment_dtype", None),
+            nu_dtype=config.train.get("nu_dtype", None),
         )
 
         with self.mesh:

@@ -125,6 +125,57 @@ def test_sharded_step_matches_unsharded():
         )
 
 
+def test_sharded_step_with_sr_nu_matches_unsharded():
+    """train.nu_dtype='bfloat16' (stochastically rounded narrow second
+    moment, ops/fused_adam.py:adam_sr_nu) on the dp2/fsdp2/tp2 sharded
+    step: same loss and params as the single-device step, nu stays bf16
+    and agrees within one bf16 ulp (the SR key is derived from the step
+    count, so both runs draw identical rounding bits; only collective
+    reduction reordering of the pre-rounded value can flip a decision)."""
+    model = _tiny_model()
+    batch_size = 8
+    lr = 1e-3
+    opt = make_optimizer(
+        lr, global_batch_size=batch_size, fused=False, nu_dtype="bfloat16"
+    )
+    batch = _batch(batch_size)
+    step_rng = jax.random.PRNGKey(1)
+    mesh = create_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+
+    state1 = create_train_state(model, jax.random.PRNGKey(0), opt,
+                                batch_size=2)
+    step1 = jax.jit(make_train_step(model, opt, **STEP_KW))
+    new1, m1 = step1(state1, batch, step_rng)
+    with mesh:
+        from maskdit_tpu.parallel.sharded import state_shardings
+
+        shapes = jax.eval_shape(lambda s: s, state1)
+        shardings = state_shardings(shapes, mesh)
+        state8 = jax.device_put(jax.device_get(state1), shardings)
+        step8 = make_sharded_train_step(
+            model, opt, mesh, shardings, donate=False, **STEP_KW
+        )
+        new8, m8 = step8(state8, batch, step_rng)
+
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-6
+    total = flipped = 0
+    for a, b in zip(jax.tree.leaves(new1.params), jax.tree.leaves(new8.params)):
+        d = jnp.abs(a - b)
+        assert float(jnp.max(d)) <= 2.05 * lr
+        total += d.size
+        flipped += int(jnp.sum(d > 1e-5))
+    assert flipped / total < 5e-3, f"{flipped}/{total} elements moved"
+    for a, b in zip(
+        jax.tree.leaves(new1.opt_state[0].nu),
+        jax.tree.leaves(new8.opt_state[0].nu),
+    ):
+        assert a.dtype == b.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2 ** -7, atol=1e-12,
+        )
+
+
 def test_cross_topology_checkpoint_restore(tmp_path):
     """Save from a 2x2x2-sharded run, restore onto a data-only 8-way
     layout, and continue training — the elastic-resume scenario."""

@@ -1,13 +1,22 @@
-"""Loss-curve equivalence check for bf16 Adam-mu storage.
+"""Loss-curve equivalence check for narrow Adam-state storage.
 
 Trains the same small MaskDiT twice from identical seeds — once with
-fp32 Adam state, once with moment_dtype='bfloat16' — on a fixed
-synthetic stream, and reports the per-step loss gap. Step-level
-rounding bounds live in tests/test_fused_adam.py; this is the
-dynamics-level complement: over N steps the two runs' loss curves must
-track within optimizer-noise scale (no drift / divergence).
+fp32 Adam state, once with the narrow variant — on a fixed synthetic
+stream, and reports the per-step loss gap. Step-level rounding bounds
+live in tests/test_fused_adam.py; this is the dynamics-level
+complement: over N steps the two runs' loss curves must track within
+optimizer-noise scale (no drift / divergence).
 
-Usage:  python tools/mu_dtype_curve.py [steps=200] [out.json]
+Variants:
+  mu    — moment_dtype='bfloat16' (first moment, round-to-nearest)
+  nu    — nu_dtype='bfloat16' (second moment, stochastic rounding)
+  munu  — both narrow (the full 2.7 GB-of-state saving for XL/2)
+
+Usage:  python tools/mu_dtype_curve.py [steps=200] [out.json] [variant=mu]
+
+Measured (DiT-S, TPU v5e, 200 steps, identical seeds/stream):
+  mu   : max per-step |gap| = 1.14e-4, tail-20-mean gap 1.4e-5
+         (loss scale ~0.73) — statistically indistinguishable.
 """
 
 from __future__ import annotations
@@ -26,8 +35,14 @@ jax.config.update(
     os.environ.get("MASKDIT_COMPILE_CACHE", "/tmp/jax_maskdit_cache"),
 )
 
+VARIANTS = {
+    "mu": {"moment_dtype": "bfloat16"},
+    "nu": {"nu_dtype": "bfloat16"},
+    "munu": {"moment_dtype": "bfloat16", "nu_dtype": "bfloat16"},
+}
 
-def run(moment_dtype, steps: int):
+
+def run(steps: int, *, moment_dtype=None, nu_dtype=None):
     from maskdit_tpu.models import create_model
     from maskdit_tpu.train.state import (
         create_train_state,
@@ -41,7 +56,8 @@ def run(moment_dtype, steps: int):
         dtype=jnp.bfloat16,
     )
     opt = make_optimizer(
-        1e-4, global_batch_size=32, fused="jnp", moment_dtype=moment_dtype
+        1e-4, global_batch_size=32, fused="jnp",
+        moment_dtype=moment_dtype, nu_dtype=nu_dtype,
     )
     state = jax.jit(
         lambda r: create_train_state(model, r, opt, batch_size=1)
@@ -73,17 +89,20 @@ def run(moment_dtype, steps: int):
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     out = sys.argv[2] if len(sys.argv) > 2 else None
-    l32 = run(None, steps)
-    l16 = run("bfloat16", steps)
+    variant = sys.argv[3] if len(sys.argv) > 3 else "mu"
+    narrow_kwargs = VARIANTS[variant]
+    l32 = run(steps)
+    l16 = run(steps, **narrow_kwargs)
     gaps = [abs(a - b) for a, b in zip(l32, l16)]
     tail32 = sum(l32[-20:]) / 20
     tail16 = sum(l16[-20:]) / 20
     report = {
+        "variant": variant,
         "steps": steps,
         "final_loss_fp32": l32[-1],
-        "final_loss_bf16mu": l16[-1],
+        f"final_loss_{variant}": l16[-1],
         "tail20_mean_fp32": tail32,
-        "tail20_mean_bf16mu": tail16,
+        f"tail20_mean_{variant}": tail16,
         "tail20_gap": abs(tail32 - tail16),
         "max_step_gap": max(gaps),
         "mean_step_gap": sum(gaps) / len(gaps),
@@ -91,7 +110,7 @@ def main():
     print(json.dumps(report, indent=2))
     if out:
         with open(out, "w") as f:
-            json.dump({"report": report, "fp32": l32, "bf16mu": l16}, f)
+            json.dump({"report": report, "fp32": l32, variant: l16}, f)
 
 
 if __name__ == "__main__":
