@@ -90,11 +90,18 @@ def build(
     # fp32, rounding bounded by tests/test_fused_adam.py. Override with
     # MASKDIT_BENCH_MU (empty string = exact fp32 state).
     mu_default = "bfloat16" if grad_accum > 1 else ""
-    # MASKDIT_BENCH_NU=bfloat16 additionally stores Adam's second moment
-    # in bf16 with stochastic rounding (frees another 1.35 GB; see
-    # ops/fused_adam.py:stochastic_round_bf16). Off by default pending
-    # a measured win at the next memory-wall micro.
-    nu_env = os.environ.get("MASKDIT_BENCH_NU", "") or None
+    # Accum configs also store Adam's second moment in bf16 with
+    # stochastic rounding (ops/fused_adam.py:stochastic_round_bf16).
+    # Measured r4 on v5e: the halved nu traffic speeds the bandwidth-
+    # bound optimizer tail (1536x48: 304.2 -> 313.0 imgs/s, 768x24:
+    # 301.5 -> 311.0, 128x4: 273.5 -> 274.7) and the extra 1.35 GB of
+    # headroom does NOT move the micro wall further (micro-36 = 299.8
+    # still loses; 512-res micro-20 = 68.68 loses to micro-16's 69.1).
+    # Loss-curve evidence (tools/mu_dtype_curve.py, 200 steps): nu-only
+    # tail-20 gap 3.8e-6, mu+nu 1.4e-5 — indistinguishable from fp32
+    # state. Override with MASKDIT_BENCH_NU ('' = fp32 nu).
+    nu_default = "bfloat16" if grad_accum > 1 else ""
+    nu_env = os.environ.get("MASKDIT_BENCH_NU", nu_default) or None
     opt = make_optimizer(
         1e-4, global_batch_size=batch, fused=fused,
         moment_dtype=os.environ.get("MASKDIT_BENCH_MU", mu_default) or None,
@@ -236,9 +243,11 @@ def run_sampling(batch: int = 50, num_steps: int = 40, res: int = 32) -> float:
 
 def run_sampling_sweep(num_steps: int = 40, res: int = 32) -> float:
     """Best sampling throughput over a batch ladder (reference caps at 50
-    per GPU, train.py:317; one v5e chip holds larger CFG double-batches)."""
+    per GPU, train.py:317; one v5e chip holds larger CFG double-batches).
+    Forward-only activations are small — the ladder extends well past the
+    training batch sizes before HBM pressure appears (r4 sweep)."""
     best = 0.0
-    ladder = (50, 64, 96, 128) if res <= 32 else (16, 32, 48)
+    ladder = (50, 64, 96, 128, 192, 256) if res <= 32 else (16, 32, 48, 64)
     for batch in ladder:
         try:
             best = max(best, run_sampling(batch, num_steps, res))
@@ -330,6 +339,91 @@ def run_sampling_e2e(
     return batch / dt
 
 
+def _write_synthetic_latent_lmdb(path: str, n_records: int, res: int) -> None:
+    """Synthetic latent LMDB with the real record schema (z/y/length keys,
+    fp32 moment blobs) so the train_io mode reads through the exact
+    production path: lmdb_lite/native reader -> DataLoader threads ->
+    collate -> prefetch/device put."""
+    import numpy as np
+
+    from maskdit_tpu.data.lmdb_lite import Writer
+
+    rng = np.random.RandomState(0)
+    with Writer(path) as w:
+        for i in range(n_records):
+            z = rng.randn(8, res, res).astype(np.float32)
+            w.put(f"z-{i}", z.tobytes())
+            w.put(f"y-{i}", str(i % 1000))
+        w.put("length", str(n_records))
+
+
+def run_train_io(
+    batch: int,
+    grad_accum: int = 1,
+    iters: int = 6,
+    mask_ratio: float = 0.5,
+    res: int = 32,
+    n_records: int = 6144,
+) -> dict:
+    """Training throughput fed by the REAL input pipeline (VERDICT r3
+    weak #1): synthetic latent LMDB on disk -> lmdb_lite reader ->
+    threaded DataLoader -> prefetch -> the same jitted step as the
+    headline. Reports loader-only and end-to-end imgs/s so the gap to
+    the synthetic (device-resident) number is explicit. Replaces the
+    reference's torch DataLoader + pin_memory hot path
+    (reference train.py:107-117)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from maskdit_tpu.data.datasets import ImageNetLatentDataset
+    from maskdit_tpu.data.loader import DataLoader, prefetch
+
+    root = tempfile.mkdtemp(prefix="maskdit_io_bench_")
+    try:
+        t0 = time.perf_counter()
+        _write_synthetic_latent_lmdb(os.path.join(root, "train"), n_records, res)
+        log(f"wrote {n_records} latent records ({n_records * 8 * res * res * 4 / 2**20:.0f}"
+            f" MiB) in {time.perf_counter() - t0:.1f}s")
+        dataset = ImageNetLatentDataset(root, resolution=res, num_channels=4)
+        workers = int(os.environ.get("MASKDIT_BENCH_IO_WORKERS", "4"))
+        loader = DataLoader(
+            dataset, batch, shuffle=True, seed=0, num_workers=workers
+        )
+
+        # loader-only rate: host pipeline with no device in the loop
+        it = iter(loader)
+        next(it)  # warm (thread pool, page cache)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            b = next(it)
+        loader_rate = batch * iters / (time.perf_counter() - t0)
+        assert b["x"].shape == (batch, 8, res, res) and b["y"].shape == (batch, 1000)
+        log(f"loader-only: {loader_rate:.1f} imgs/s ({workers} workers)")
+
+        # end-to-end: identical jitted step to the synthetic headline,
+        # consuming prefetched device batches instead of resident ones
+        state, step, _, rng = build(batch, grad_accum, mask_ratio, res)
+        stream = prefetch(iter(loader), jax.devices()[0], size=2)
+        state, metrics = step(state, next(stream), rng)
+        float(jax.device_get(metrics["loss"]))  # honest sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, next(stream), rng)
+        loss = float(jax.device_get(metrics["loss"]))
+        jax.block_until_ready(state.params)
+        dt = (time.perf_counter() - t0) / iters
+        e2e_rate = batch / dt
+        if not np.isfinite(loss):
+            raise RuntimeError(f"non-finite loss {loss}")
+        log(f"e2e-with-IO batch={batch} (accum={grad_accum}): {dt*1e3:.1f} ms/step"
+            f" -> {e2e_rate:.1f} imgs/s, loss={loss:.4f}")
+        return {"loader_only": loader_rate, "e2e": e2e_rate}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # 512-res ladder: measured on v5e r3 with the flash_big packed-attention
 # kernel (ops/flash_big.py) — see STATUS.md "512-res training (round 3)".
 BASELINE_512_IMGS_PER_SEC = 56.4  # ~210 A100-days / 1M steps @ 1024 (README.md:29)
@@ -353,12 +447,15 @@ def ladder_sweep(env_name: str, default: str, runner) -> Optional[float]:
 def main() -> None:
     mode = sys.argv[2] if len(sys.argv) > 2 and sys.argv[1] == "--mode" else None
     if mode == "sample":
-        rate = run_sampling_sweep()
+        # e2e FIRST: a TPU-worker crash on the sweep's biggest rungs
+        # poisons the whole process (r4 sweep: batch>=256 faults), so the
+        # production-surface number must be banked before the ladder.
         e2e = 0.0
         try:
             e2e = run_sampling_e2e(batch=128)
         except Exception as e:
             log(f"e2e sampling failed: {type(e).__name__}: {e}")
+        rate = run_sampling_sweep()
         log(f"sampler-only best: {rate:.2f} imgs/s; end-to-end: {e2e:.2f}")
         print(json.dumps({
             "metric": "maskdit_xl2_cfg40_sampling_images_per_sec",
@@ -368,20 +465,42 @@ def main() -> None:
         }))
         return
     if mode == "sample512":
-        rate = run_sampling_sweep(res=64)
         e2e = 0.0
         try:
-            # 512px decode activations are 4x the 256px ones: batch 32,
-            # 8-image decode chunks
+            # e2e first (see mode == "sample"); 512px decode activations
+            # are 4x the 256px ones: batch 32, 8-image decode chunks
             e2e = run_sampling_e2e(batch=32, dec_chunk=8, res=64)
         except Exception as e:
             log(f"e2e sampling failed: {type(e).__name__}: {e}")
+        rate = run_sampling_sweep(res=64)
         log(f"sampler-only best: {rate:.2f} imgs/s; end-to-end: {e2e:.2f}")
         print(json.dumps({
             "metric": "maskdit_xl2_cfg40_sampling512_images_per_sec",
             "value": round(rate, 3), "unit": "images/sec/chip",
             "vs_baseline": 0.0,  # the reference publishes no sampling rate
             "e2e_with_decode": round(e2e, 3),
+        }))
+        return
+    if mode == "train_io":
+        # VERDICT r3 weak #1: the headline is synthetic/device-resident;
+        # this mode proves the real input pipeline sustains it. Ladder
+        # mirrors the headline's leading rungs.
+        rates = None
+        for item in os.environ.get(
+            "MASKDIT_BENCH_IO", "1536x48,768x24,128x4,48"
+        ).split(","):
+            b, _, ga = item.partition("x")
+            try:
+                rates = run_train_io(int(b), int(ga) if ga else 1)
+                break
+            except Exception as e:
+                log(f"train_io {item} failed: {type(e).__name__}: {e}")
+        rates = rates or {"loader_only": 0.0, "e2e": 0.0}
+        print(json.dumps({
+            "metric": "maskdit_xl2_train_io_images_per_sec",
+            "value": round(rates["e2e"], 2), "unit": "images/sec/chip",
+            "vs_baseline": round(rates["e2e"] / A100_IMAGES_PER_SEC, 4),
+            "loader_only": round(rates["loader_only"], 1),
         }))
         return
     if mode == "finetune256":
@@ -423,10 +542,12 @@ def main() -> None:
         return
     if mode == "train512":
         # bf16 Adam-mu frees 1.35 GB -> micro-16 fits (fp32 state capped
-        # at micro-14). Measured v5e: 512x32 = 7409.0 ms = 69.11 imgs/s
-        # (1.2253x), 256x16 = 68.64, 128x8 = 67.8, 160x8 (micro-20) =
-        # 67.37 loses, 224x8 (micro-28) OOMs by 117 MB; fp32-state rungs
-        # 448x32 = 66.85, 224x16 = 66.61.
+        # at micro-14); bf16 nu (r4 default) adds bandwidth: 512x32 =
+        # 7392.0 ms = 69.26 imgs/s (1.2281x). micro-20 (640x32) fits
+        # under nu but loses (68.68). mu-only r3 rungs: 512x32 = 69.11,
+        # 256x16 = 68.64, 128x8 = 67.8, 160x8 (micro-20) = 67.37,
+        # 224x8 (micro-28) OOMs by 117 MB; fp32-state rungs 448x32 =
+        # 66.85, 224x16 = 66.61.
         rate = ladder_sweep(
             "MASKDIT_BENCH_512", "512x32,448x32,256x16,224x16,128x8,64x8,16,8",
             lambda b, ga: run(b, ga, res=64, iters=5),
@@ -440,14 +561,17 @@ def main() -> None:
     # Gradient accumulation amortizes the ~42 ms per-PARAM Adam+EMA tail
     # over more images (the reference trains at 128/GPU, train.py;
     # accumulation is the same SGD). With fp32 Adam state, micro-28 was
-    # the r2/r3 memory-wall optimum (1344x48 = 295.3 imgs/s); storing the
-    # Adam first moment in bf16 (r3) frees 1.35 GB, tile-perfect micro-32
-    # fits, and the ladder leads 1536x48 = 5049.6 ms = 304.18 imgs/s
-    # (~60.6% MFU). Sweep (exact per-step fp32 EMA everywhere):
-    # 1536x48 = 304.2, 768x24 = 301.5, 128x4 = 273.5 (all micro-32,
-    # mu bf16; micro-36 = 266.3 loses); fp32-state rungs: 1344x48 =
-    # 295.3, 672x24 = 293.8, 448x16 = 291.4, 224x8 = 282.6, 120x4 =
-    # 262.1, 48 plain (packed kernel) = 253.9.
+    # the r2/r3 memory-wall optimum (1344x48 = 295.3 imgs/s); bf16 Adam
+    # mu (r3) freed 1.35 GB so tile-perfect micro-32 fits (1536x48 =
+    # 304.18); bf16 nu via stochastic rounding (r4) halves the remaining
+    # second-moment traffic and the ladder leads 1536x48 = 4907.0 ms =
+    # 313.02 imgs/s (~62.3% MFU). r4 sweep (exact per-step fp32 EMA,
+    # micro-32, mu+nu bf16): 1536x48 = 313.0, 768x24 = 311.0, 128x4 =
+    # 274.7; micro-36 (1728x48) = 299.8 still loses — the wall is
+    # compute-remat, not state size. mu-only r3 rungs: 1536x48 = 304.2,
+    # 768x24 = 301.5, 128x4 = 273.5; fp32-state rungs: 1344x48 = 295.3,
+    # 672x24 = 293.8, 448x16 = 291.4, 224x8 = 282.6, 120x4 = 262.1,
+    # 48 plain (packed kernel) = 253.9.
     # Falls back down the ladder on OOM. See STATUS.md round-3 for the
     # experiments that did NOT move it (kernel-under-accum, micro descent;
     # accum_unroll and peel_last_micro compile-OOM on 16 GB v5e).

@@ -232,23 +232,34 @@ class Attention(nn.Module):
         # null): True is reserved for explicitly forcing ops/flash.py,
         # which loses to the packed kernels at L<=512.
         from maskdit_tpu.ops import flash_batched, flash_big
+        from maskdit_tpu.ops.dispatch import ambient_mesh, shard_safe_kernel
 
         auto = kv_valid is None and self.use_flash is None
         on_tpu = jax.default_backend() == "tpu"
+        kernel_fn = None
         if auto and on_tpu and flash_batched.supports(self.num_heads, l, hd):
             # whole-(L,3D)-block kernel, the short-sequence winner
             # (256-res shapes): (L, L) logits/probs never leave VMEM; the
             # custom VJP keeps only this qkv buffer as residual and the
             # bwd kernel recomputes softmax internally.
-            out = flash_batched.packed_attention(
-                qkv, self.num_heads, hd ** -0.5
+            kernel_fn = lambda t: flash_batched.packed_attention(
+                t, self.num_heads, hd ** -0.5
             )
         elif auto and on_tpu and flash_big.supports(self.num_heads, l, hd):
             # head-grouped, query-chunked variant for the 512-res shapes
             # (encoder L=512, decoder L=1024) — same qkv-only residual.
-            out = flash_big.packed_attention_big(
-                qkv, self.num_heads, hd ** -0.5
+            kernel_fn = lambda t: flash_big.packed_attention_big(
+                t, self.num_heads, hd ** -0.5
             )
+        if kernel_fn is not None:
+            # Shard safety (VERDICT r3 #5): a Pallas custom call has no
+            # SPMD rule, so under a sharded mesh it runs inside shard_map
+            # over the batch-sharded axes (per-sample grid -> local calls)
+            # or, when no gather-free mapping exists (tensor>1), falls
+            # back to the XLA path below. See ops/dispatch.py.
+            kernel_fn = shard_safe_kernel(kernel_fn, ambient_mesh(), n)
+        if kernel_fn is not None:
+            out = kernel_fn(qkv)
         else:
             def attn_from_qkv(qkv_packed, kv_valid):
                 qkv_r = qkv_packed.reshape(

@@ -31,7 +31,22 @@ def create_mesh(
     mesh_shape: Optional[dict[str, int]] = None,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a 3-axis mesh. Default: all devices on 'data'."""
+    """Build a 3-axis mesh. Default: all devices on 'data'.
+
+    DCN-aware (VERDICT r3 next #8): when the devices span multiple
+    granules (TPU slices, or processes when no ``slice_index`` attribute
+    exists — e.g. multi-host CPU/gloo), the 'data' axis is laid out
+    ACROSS granules and fsdp/tensor stay inside one granule, so the
+    per-layer fsdp parameter gathers and tensor-parallel psums ride ICI
+    while only the once-per-step gradient all-reduce crosses DCN. Built
+    via ``mesh_utils.create_hybrid_device_mesh``; single-granule meshes
+    use ``mesh_utils.create_device_mesh`` (ICI-topology-aware ordering).
+    Placement is pinned by tests/mp_worker.py mesh_placement (a real
+    2-process cluster). Replaces the reference's flat NCCL ranks
+    (scripts/train_latent512.sh 4-node DDP).
+    """
+    from jax.experimental import mesh_utils
+
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if mesh_shape is None:
@@ -39,7 +54,27 @@ def create_mesh(
     shape = tuple(int(mesh_shape.get(a, 1)) for a in AXES)
     if int(np.prod(shape)) != n:
         raise ValueError(f"mesh shape {mesh_shape} does not use all {n} devices")
-    dev_array = np.asarray(devices).reshape(shape)
+    if n == 1:
+        return Mesh(np.asarray(devices).reshape(shape), AXES)
+    by_slice = hasattr(devices[0], "slice_index")
+    granules = len({
+        getattr(d, "slice_index" if by_slice else "process_index")
+        for d in devices
+    })
+    data, fsdp, tensor = shape
+    if granules > 1 and data % granules == 0:
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            (data // granules, fsdp, tensor),
+            (granules, 1, 1),
+            devices=devices,
+            process_is_granule=not by_slice,
+        )
+    else:
+        # single granule (or a data axis that cannot span the granules
+        # evenly — e.g. pure-fsdp over two hosts): ICI-aware ordering only
+        dev_array = mesh_utils.create_device_mesh(
+            shape, devices=devices, allow_split_physical_axes=True
+        )
     return Mesh(dev_array, AXES)
 
 

@@ -25,6 +25,27 @@ import numpy as np
 DenoiseFn = Callable[[jax.Array, jax.Array], jax.Array]
 
 
+def _apply_net_sigma_surface(
+    sigma_steps: np.ndarray,
+    round_sigma: Optional[Callable],
+) -> np.ndarray:
+    """Route host-side noise levels through the net's ``round_sigma``.
+
+    Mirrors reference sample.py:43,157 (``net.round_sigma(t_steps)``): nets
+    trained on discrete noise levels snap the continuous discretization to
+    their grid. EDMPrecond's round_sigma is the identity (precond.py:121),
+    so this is a no-op for MaskDiT — kept for surface parity with other
+    preconds. Applied host-side to the fp64 levels before they become the
+    compiled scan constants; ``ensure_compile_time_eval`` keeps a
+    jnp-based round_sigma (EDMPrecond's is ``jnp.asarray``) concrete even
+    when the enclosing sampler call is being traced under jit."""
+    if round_sigma is None:
+        return sigma_steps
+    with jax.ensure_compile_time_eval():
+        rounded = round_sigma(sigma_steps)
+    return np.asarray(rounded, dtype=np.float64)
+
+
 def edm_sigma_steps(
     num_steps: int, sigma_min: float = 0.002, sigma_max: float = 80.0,
     rho: float = 7.0,
@@ -50,15 +71,23 @@ def edm_sampler(
     S_min: float = 0.0,
     S_max: float = float("inf"),
     S_noise: float = 1.0,
+    net_sigma_min: float = 0.0,
+    net_sigma_max: float = float("inf"),
+    round_sigma: Optional[Callable] = None,
 ) -> jax.Array:
     """Heun 2nd-order EDM sampler (reference: sample.py:30-66).
 
     79 denoiser evals at the default 40 steps. jit-able end to end; wrap the
-    call in jax.jit for production use.
+    call in jax.jit for production use. ``net_sigma_min/max`` clamp the
+    requested range to what the net supports and ``round_sigma`` snaps
+    levels to its grid (reference sample.py:36-37,43) — both identity for
+    EDMPrecond (precond.py:32-33,121).
     """
-    t_steps = jnp.asarray(
-        edm_sigma_steps(num_steps, sigma_min, sigma_max, rho), dtype=jnp.float32
-    )
+    sigma_min = max(sigma_min, net_sigma_min)
+    sigma_max = min(sigma_max, net_sigma_max)
+    levels = edm_sigma_steps(num_steps, sigma_min, sigma_max, rho)
+    levels[:-1] = _apply_net_sigma_surface(levels[:-1], round_sigma)
+    t_steps = jnp.asarray(levels, dtype=jnp.float32)
     gamma_max = min(S_churn / num_steps, math.sqrt(2.0) - 1.0)
     use_churn = S_churn > 0
     if use_churn and rng is None:
@@ -123,11 +152,14 @@ def ablation_sigma_steps(
     C_1: float = 0.001,
     C_2: float = 0.008,
     M: int = 1000,
+    net_sigma_min: float = 0.0,
+    net_sigma_max: float = float("inf"),
 ) -> tuple[np.ndarray, float, float]:
     """Host-side noise-level discretization for the ablation sampler.
 
     Returns (sigma_steps[num_steps], sigma_min, sigma_max) — defaults
-    resolved per discretization as in reference sample.py:97-103.
+    resolved per discretization as in reference sample.py:97-103, then
+    clamped to the net's supported range (sample.py:104-106).
     """
     if sigma_min is None:
         vp_def = _vp_sigma(19.1, 0.1)(epsilon_s)
@@ -139,6 +171,8 @@ def ablation_sigma_steps(
         sigma_max = {"vp": vp_def, "ve": 100.0, "iddpm": 81.0, "edm": 80.0}[
             discretization
         ]
+    sigma_min = max(sigma_min, net_sigma_min)
+    sigma_max = min(sigma_max, net_sigma_max)
 
     idx = np.arange(num_steps, dtype=np.float64)
     if discretization == "vp":
@@ -200,16 +234,25 @@ def ablation_sampler(
     S_min: float = 0.0,
     S_max: float = float("inf"),
     S_noise: float = 1.0,
+    net_sigma_min: float = 0.0,
+    net_sigma_max: float = float("inf"),
+    round_sigma: Optional[Callable] = None,
 ) -> jax.Array:
-    """Generalized sampler superset (reference: sample.py:73-188)."""
+    """Generalized sampler superset (reference: sample.py:73-188).
+
+    ``net_sigma_min/max``/``round_sigma`` mirror the reference's
+    net-supported-range clamp and level snapping (sample.py:104-106,157);
+    identity for EDMPrecond."""
     assert solver in ("euler", "heun")
     assert discretization in ("vp", "ve", "iddpm", "edm")
     assert schedule in ("vp", "ve", "linear")
     assert scaling in ("vp", "none")
 
     sigma_steps, sigma_min, sigma_max = ablation_sigma_steps(
-        num_steps, discretization, sigma_min, sigma_max, rho, epsilon_s, C_1, C_2, M
+        num_steps, discretization, sigma_min, sigma_max, rho, epsilon_s, C_1, C_2, M,
+        net_sigma_min=net_sigma_min, net_sigma_max=net_sigma_max,
     )
+    sigma_steps = _apply_net_sigma_surface(sigma_steps, round_sigma)
 
     vp_beta_d = (
         2

@@ -55,6 +55,13 @@ def make_sample_fn(
     """Build a jitted (latents, labels) -> denoised-latents function."""
 
     kwargs: dict = {"num_steps": cfg.num_steps, "S_churn": cfg.S_churn}
+    # noise levels the net supports (reference sample.py:36-37,104-106,157;
+    # identity for EDMPrecond — precond.py:32-33,121)
+    kwargs.update(
+        net_sigma_min=model.sigma_min,
+        net_sigma_max=model.sigma_max,
+        round_sigma=model.round_sigma,
+    )
     kwargs.update(cfg.extra)
 
     if cfg.use_ablation:

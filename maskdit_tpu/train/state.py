@@ -64,9 +64,13 @@ def make_optimizer(
     (reference: train.py:141, 223-226).
 
     ``fused=True`` returns a :class:`~maskdit_tpu.ops.fused_adam.FusedAdamEma`
-    (single-sweep Pallas Adam+EMA, optax-compatible state). Use it when
-    params are unsharded (single chip / pure DP replication); the sharded
-    FSDP path keeps plain optax until the update is shard_mapped.
+    (single-sweep Adam+EMA, optax-compatible state). Its default 'jnp'
+    mode is one elementwise expression per leaf, which GSPMD partitions
+    over fsdp/tensor-sharded params without gathers — safe on any mesh
+    (equality vs staged optax on a sharded mesh is pinned by
+    tests/test_sharded_numerics.py). The opt-in Pallas kernel mode
+    (``fused='pallas'``) reshapes each leaf to (rows, 128) and is for
+    replicated params only.
 
     ``moment_dtype='bfloat16'`` stores the Adam FIRST moment in bf16
     (optax's mu_dtype; math stays fp32) — an opt-in approximation beyond

@@ -35,7 +35,11 @@ from maskdit_tpu.parallel.sharded import (
     create_sharded_state,
     make_sharded_train_step,
 )
-from maskdit_tpu.train.schedules import bucket_ratio, get_mask_ratio_fn
+from maskdit_tpu.train.schedules import (
+    bucket_ratio,
+    get_mask_ratio_fn,
+    lr_with_rampup,
+)
 from maskdit_tpu.train.state import make_optimizer
 from maskdit_tpu.utils.ckpt import CheckpointManager, graft_params, load_reference_checkpoint
 from maskdit_tpu.utils.logging import MetricLogger, Throughput
@@ -160,15 +164,16 @@ class Trainer:
                 "use_flash", default_use_flash(self.grad_accum, self.seq_len)
             ),
         )
-        # fused single-sweep Adam+EMA whenever params are replicated (any
-        # mesh without an fsdp/tensor axis >1); FSDP shards params so the
-        # fused kernel would force gathers — keep staged optax there.
-        params_replicated = all(
-            self.mesh.shape.get(ax, 1) == 1 for ax in ("fsdp", "tensor")
-        )
-        self.fused_adam = bool(
-            config.train.get("fused_adam", params_replicated)
-        )
+        # fused single-sweep Adam+EMA everywhere: the default 'jnp' mode is
+        # one elementwise expression per leaf, so GSPMD partitions it over
+        # fsdp/tensor-sharded params with zero gathers (grads, moments and
+        # EMA share the params' sharding by construction — parallel/sharded
+        # docstring; fused==staged equality on a {2,2,2} mesh is pinned by
+        # tests/test_sharded_numerics.py::test_fused_adam_matches_staged_
+        # on_sharded_mesh). Only the opt-in Pallas kernel mode is
+        # replication-only (its (rows,128) reshape of a sharded leaf would
+        # gather); make_optimizer guards that combination.
+        self.fused_adam = bool(config.train.get("fused_adam", True))
         self.optimizer = make_optimizer(
             config.train.lr,
             global_batch_size=self.global_batch,
@@ -180,6 +185,14 @@ class Trainer:
             # approximations; see the make_optimizer docstring.
             moment_dtype=config.train.get("moment_dtype", None),
             nu_dtype=config.train.get("nu_dtype", None),
+        )
+        # host-side mirror of the optimizer's LR schedule, for train/lr
+        # logging (the reference logs it every round: train.py:252)
+        _rampup = config.train.get("lr_rampup_kimg", 0) or 0
+        _base_lr, _gbs = float(config.train.lr), self.global_batch
+        self.lr_at = (
+            (lambda s: float(lr_with_rampup(s, _base_lr, _gbs, _rampup)))
+            if _rampup > 0 else (lambda s: _base_lr)
         )
 
         with self.mesh:
@@ -378,6 +391,7 @@ class Trainer:
                     if is_main_process():
                         self.metrics.log(
                             {"train/loss": avg["loss"],
+                             "train/lr": self.lr_at(step),
                              "train/grad_norm": avg.get("grad_norm", 0.0),
                              "train/steps_per_sec": rates["steps_per_sec"],
                              "train/images_per_sec": rates["images_per_sec"],

@@ -60,6 +60,17 @@ def main() -> None:
     )
     opt = make_optimizer(1e-3, global_batch_size=8)
     mesh = create_mesh({"data": 4, "fsdp": 2})
+    # DCN-aware placement (VERDICT r3 next #8): 'data' spans the two
+    # processes; every fsdp pair stays INSIDE one process so per-layer
+    # parameter gathers never cross the (simulated) DCN boundary.
+    darr = mesh.devices
+    assert {d.process_index for d in darr.flat} == set(range(nproc))
+    for i in range(darr.shape[0]):
+        row_procs = {d.process_index for d in darr[i].flat}
+        assert len(row_procs) == 1, (
+            f"fsdp group {i} straddles processes: {row_procs}"
+        )
+    print("placement=ok", flush=True)
     with mesh:
         state, shardings = create_sharded_state(
             model, jax.random.PRNGKey(0), opt, mesh, batch_size=2

@@ -89,6 +89,21 @@ def test_main_finetune256_mode(bench, monkeypatch, capsys):
     assert rec["value"] > 0 and rec["vs_baseline"] == 0.0
 
 
+def test_main_train_io_mode(bench, monkeypatch, capsys):
+    """train_io mode: synthetic latent LMDB -> real DataLoader ->
+    prefetch -> jitted step, reporting loader-only and e2e rates."""
+    orig = bench.run_train_io
+
+    def small(batch, grad_accum=1, **kw):
+        return orig(batch, grad_accum, iters=1, res=16, n_records=32)
+
+    monkeypatch.setattr(bench, "run_train_io", small)
+    monkeypatch.setenv("MASKDIT_BENCH_IO", "4x2")
+    rec = _main_json(bench, monkeypatch, capsys, mode="train_io")
+    assert rec["metric"] == "maskdit_xl2_train_io_images_per_sec"
+    assert rec["value"] > 0 and rec["loader_only"] > 0
+
+
 def test_ladder_sweep_exhausted_returns_none(bench, monkeypatch):
     monkeypatch.setenv("MASKDIT_TEST_LADDER", "notanumber,alsobad")
     assert bench.ladder_sweep("MASKDIT_TEST_LADDER", "", lambda b, ga: b) is None

@@ -138,6 +138,15 @@ class TOracle(tnn.Module):
         return c_skip * x + c_out * f_x
 
     def reference_state_dict(self):
+        return {
+            k: v.detach().numpy()
+            for k, v in self.named_reference_tensors().items()
+        }
+
+    def named_reference_tensors(self):
+        """Reference-checkpoint key -> live parameter tensor (lets
+        tests/test_xl_port.py LOAD an exported state dict back into the
+        oracle via copy_, exercising export_maskdit at scale)."""
         sd = {}
         sd["model.x_embedder.proj.weight"] = self.x_embedder["proj"].weight
         sd["model.x_embedder.proj.bias"] = self.x_embedder["proj"].bias
@@ -169,7 +178,7 @@ class TOracle(tnn.Module):
         sd["model.final_layer.linear.weight"] = self.final_lin.weight
         sd["model.final_layer.linear.bias"] = self.final_lin.bias
         sd["model.mask_token"] = self.mask_token
-        return {k: v.detach().numpy() for k, v in sd.items()}
+        return sd
 
 
 @pytest.fixture(scope="module")

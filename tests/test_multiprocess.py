@@ -26,6 +26,7 @@ def _free_port() -> int:
 
 
 def _parse(out: str) -> dict:
+    assert "placement=ok" in out, f"DCN-aware mesh placement failed:\n{out}"
     vals = dict(re.findall(r"(loss1|loss2|checksum)=([-\d.]+)", out))
     assert set(vals) == {"loss1", "loss2", "checksum"}, f"bad output:\n{out}"
     return {k: float(v) for k, v in vals.items()}

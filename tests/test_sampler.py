@@ -95,6 +95,43 @@ def test_ablation_sampler_other_configs_run():
         assert np.isfinite(np.asarray(out)).all()
 
 
+def test_net_sigma_surface():
+    """net_sigma_min/max clamp the requested range to the net's, and
+    round_sigma snaps levels to its grid (reference sample.py:36-37,
+    43,104-106,157). Identity values must be exact no-ops."""
+    latents = jax.random.normal(jax.random.PRNGKey(4), (1, 2, 4, 4))
+
+    # clamp: requesting [0.002, 80] on a net supporting [0.01, 40] equals
+    # requesting [0.01, 40] directly
+    clamped = edm.edm_sampler(
+        linear_denoiser, latents, num_steps=8,
+        net_sigma_min=0.01, net_sigma_max=40.0,
+    )
+    direct = edm.edm_sampler(
+        linear_denoiser, latents, num_steps=8, sigma_min=0.01, sigma_max=40.0,
+    )
+    np.testing.assert_array_equal(np.asarray(clamped), np.asarray(direct))
+
+    # identity round_sigma (EDMPrecond's) is a no-op
+    base = edm.edm_sampler(linear_denoiser, latents, num_steps=8)
+    ident = edm.edm_sampler(
+        linear_denoiser, latents, num_steps=8, round_sigma=lambda s: s,
+    )
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(ident))
+
+    # a real snap changes the levels: round to 2 decimals ~= rounding the
+    # discretization before sigma_inv in the ablation sampler
+    seen = {}
+    snap = lambda s: seen.setdefault("levels", np.round(s, 2))
+    out = edm.ablation_sampler(
+        linear_denoiser, latents, num_steps=8, solver="euler",
+        net_sigma_min=0.01, net_sigma_max=40.0, round_sigma=snap,
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    assert seen["levels"].max() <= 40.0 + 1e-9
+    assert seen["levels"].min() >= 0.01 - 5e-3  # rounded grid
+
+
 def test_churn_requires_rng():
     latents = jnp.zeros((1, 2, 4, 4))
     try:

@@ -176,6 +176,132 @@ def test_sharded_step_with_sr_nu_matches_unsharded():
         )
 
 
+def test_fused_adam_matches_staged_on_sharded_mesh():
+    """The fused single-sweep Adam+EMA (jnp mode) un-gated on sharded
+    meshes (VERDICT r3 next #4): on a {data:2, fsdp:2, tensor:2} mesh it
+    must produce the same params/EMA/moments as the staged optax chain —
+    both are fp32 math, so agreement is tight — and the optimizer-only
+    program must contain NO all-gathers (the update is elementwise over
+    identically-sharded leaves; a gather would mean GSPMD fell back to
+    replicating a param-sized buffer). Reference counterpart being
+    replaced at scale: apex FusedAdam (reference train.py:141)."""
+    from maskdit_tpu.parallel.sharded import state_shardings
+    from maskdit_tpu.train.state import _apply_updates_fused
+
+    model = _tiny_model()
+    batch_size = 8
+    lr = 1e-3
+    batch = _batch(batch_size)
+    step_rng = jax.random.PRNGKey(1)
+    mesh = create_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+
+    opt_staged = make_optimizer(lr, global_batch_size=batch_size, fused=False)
+    opt_fused = make_optimizer(lr, global_batch_size=batch_size, fused="jnp")
+
+    results = {}
+    for name, opt in (("staged", opt_staged), ("fused", opt_fused)):
+        with mesh:
+            state, shardings = create_sharded_state(
+                model, jax.random.PRNGKey(0), opt, mesh, batch_size=2
+            )
+            step = make_sharded_train_step(
+                model, opt, mesh, shardings, donate=False, **STEP_KW
+            )
+            new, m = step(state, batch, step_rng)
+            results[name] = (jax.device_get(new), float(m["loss"]))
+
+    (st_s, loss_s), (st_f, loss_f) = results["staged"], results["fused"]
+    assert abs(loss_s - loss_f) < 1e-6
+    for tree_s, tree_f in (
+        (st_s.params, st_f.params),
+        (st_s.ema_params, st_f.ema_params),
+        (st_s.opt_state[0].mu, st_f.opt_state[0].mu),
+        (st_s.opt_state[0].nu, st_f.opt_state[0].nu),
+    ):
+        for a, b in zip(jax.tree.leaves(tree_s), jax.tree.leaves(tree_f)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-7, rtol=1e-5
+            )
+
+    # optimizer-only program: no all-gather may appear (elementwise update
+    # over leaves that share one sharding cannot need one)
+    with mesh:
+        state, shardings = create_sharded_state(
+            model, jax.random.PRNGKey(0), opt_fused, mesh, batch_size=2
+        )
+        grads = jax.device_get(state.params)  # any param-shaped tree
+
+        def opt_only(params, grads, opt_state, ema):
+            return _apply_updates_fused(
+                opt_fused, params, grads, opt_state, ema, 0.9999,
+                jnp.zeros((), jnp.int32),
+            )
+
+        lowered = jax.jit(
+            opt_only,
+            in_shardings=(
+                shardings.params, shardings.params,
+                shardings.opt_state, shardings.ema_params,
+            ),
+            out_shardings=(
+                shardings.params, shardings.opt_state, shardings.ema_params
+            ),
+        ).lower(state.params, grads, state.opt_state, state.ema_params)
+        hlo = lowered.compile().as_text()
+    assert "all-gather" not in hlo, "fused optimizer introduced gathers"
+
+
+def test_fused_sr_nu_on_sharded_mesh_matches_unsharded():
+    """FusedAdamEma with nu_dtype='bfloat16' (the full narrow-state
+    config) on the sharded mesh: loss and params track the unsharded
+    fused run; nu stays bf16. The SR key derives from the Adam step
+    count, so both runs draw identical rounding bits."""
+    model = _tiny_model()
+    batch_size = 8
+    lr = 1e-3
+    opt = make_optimizer(
+        lr, global_batch_size=batch_size, fused="jnp",
+        moment_dtype="bfloat16", nu_dtype="bfloat16",
+    )
+    batch = _batch(batch_size)
+    step_rng = jax.random.PRNGKey(1)
+
+    state1 = create_train_state(model, jax.random.PRNGKey(0), opt,
+                                batch_size=2)
+    step1 = jax.jit(make_train_step(model, opt, **STEP_KW))
+    new1, m1 = step1(state1, batch, step_rng)
+
+    mesh = create_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+    with mesh:
+        from maskdit_tpu.parallel.sharded import state_shardings
+
+        shapes = jax.eval_shape(lambda s: s, state1)
+        shardings = state_shardings(shapes, mesh)
+        state8 = jax.device_put(jax.device_get(state1), shardings)
+        step8 = make_sharded_train_step(
+            model, opt, mesh, shardings, donate=False, **STEP_KW
+        )
+        new8, m8 = step8(state8, batch, step_rng)
+
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-6
+    total = flipped = 0
+    for a, b in zip(jax.tree.leaves(new1.params), jax.tree.leaves(new8.params)):
+        d = jnp.abs(a - b)
+        assert float(jnp.max(d)) <= 2.05 * lr
+        total += d.size
+        flipped += int(jnp.sum(d > 1e-5))
+    assert flipped / total < 5e-3, f"{flipped}/{total} elements moved"
+    for a, b in zip(
+        jax.tree.leaves(new1.opt_state[0].nu),
+        jax.tree.leaves(new8.opt_state[0].nu),
+    ):
+        assert a.dtype == b.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2 ** -7, atol=1e-12,
+        )
+
+
 def test_cross_topology_checkpoint_restore(tmp_path):
     """Save from a 2x2x2-sharded run, restore onto a data-only 8-way
     layout, and continue training — the elastic-resume scenario."""

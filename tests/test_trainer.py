@@ -67,6 +67,17 @@ def test_trainer_end_to_end(tmp_path):
     # checkpoint exists and resume picks it up
     steps = trainer.ckpt_mgr.all_steps()
     assert 4 in steps
+    # metrics JSONL carries the reference's logged series incl. train/lr
+    # (reference train.py:252)
+    import json
+
+    with open(os.path.join(trainer.exp_dir, "metrics.jsonl")) as fh:
+        rows = [json.loads(line) for line in fh]
+    assert rows, "no metrics logged"
+    for key in ("train/loss", "train/lr", "eval/fid"):
+        assert any(key in r for r in rows), f"{key} never logged"
+    lr_rows = [r["train/lr"] for r in rows if "train/lr" in r]
+    assert all(abs(v - 1e-4) < 1e-12 for v in lr_rows)
 
     trainer2 = Trainer(cfg, results_dir=str(tmp_path), seed=0, num_workers=1)
     assert trainer2.start_step == 4
