@@ -84,11 +84,17 @@ class DataLoader:
         if self.num_workers > 1:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            # No `with`: joining worker threads from a generator finalized
+            # at interpreter shutdown raises inside threading internals.
+            # wait=False lets Python's own atexit hook reap the threads.
+            pool = ThreadPoolExecutor(self.num_workers)
+            try:
                 for b in range(n_batches):
                     chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
                     samples = list(pool.map(self._load_one, chunk))
                     yield self._collate(samples)
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
         else:
             for b in range(n_batches):
                 chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]

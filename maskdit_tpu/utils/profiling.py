@@ -66,6 +66,37 @@ def maskdit_train_flops_per_image(
     return 3.0 * fwd
 
 
+def maskdit_sample_flops_per_image(
+    model_type: str = "DiT-XL/2",
+    input_size: int = 32,
+    num_steps: int = 40,
+    cfg_scale: float = 1.5,
+    use_decoder: bool = True,
+) -> float:
+    """Analytic FLOPs per SAMPLED image for the Heun EDM sampler.
+
+    The Heun loop runs ``2*num_steps - 1`` model evaluations (an Euler
+    plus a correction eval per step, none on the last — reference
+    sample.py:30-66), each an UNMASKED forward; classifier-free guidance
+    (cfg_scale != 1) doubles every eval's batch (forward_with_cfg,
+    reference models/maskdit.py:570-587). Sampling MFU must count those
+    executed FLOPs: the naive "one forward per step" accounting
+    understates utilization ~4x (40 steps vs 79 evals x 2 CFG) — the
+    source of the earlier 35%-MFU misread of a ~74%-MFU sampler.
+    """
+    from maskdit_tpu.models.dit import DIT_CONFIGS
+
+    cfg = DIT_CONFIGS[model_type]
+    l_full = (input_size // cfg["patch_size"]) ** 2
+    fwd = dit_forward_flops(
+        cfg["depth"], cfg["hidden_size"], l_full,
+        decoder_depth=8 if use_decoder else 0,
+        decoder_seq_len=l_full,
+    )
+    evals = 2 * num_steps - 1
+    return float(fwd * evals * (2.0 if cfg_scale != 1.0 else 1.0))
+
+
 def mfu(images_per_sec: float, flops_per_image: float,
         peak_tflops: float = V5E_PEAK_BF16_TFLOPS) -> float:
     """Model FLOPs utilization in [0, 1]."""
