@@ -172,22 +172,34 @@ def run(
         TRAIN_FLOPS_PER_IMAGE if (mask_ratio, res) == (0.5, 32)
         else maskdit_train_flops_per_image(MODEL, res, mask_ratio, True)
     )
+    import numpy as np
+
     state, step, batch_data, rng = build(batch, grad_accum, mask_ratio, res)
     for i in range(warmup):
         state, metrics = step(state, batch_data, rng)
     if warmup:
         # honest sync: fetch a scalar derived from the full step
         float(jax.device_get(metrics["loss"]))
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step(state, batch_data, rng)
-    # device_get forces a value round-trip; block_until_ready alone has
-    # been observed to return early under tunneled runtimes
-    loss = float(jax.device_get(metrics["loss"]))
+    # Median of 3 async groups: steps within a group pipeline normally
+    # (dispatch overlaps execution); each group ends on a device_get
+    # round-trip (block_until_ready is not an honest sync under the axon
+    # relay). The relay sporadically stalls for tens of seconds (observed
+    # on the train_io path, 26-188 s one-offs) — a single flat mean would
+    # hand the driver a garbage headline; the median survives one stalled
+    # group at ~0.1% sync overhead.
+    sizes = [n for n in (iters - 2 * (iters // 3), iters // 3, iters // 3) if n]
+    group_dt, loss = [], 0.0
+    for n in sizes:
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, metrics = step(state, batch_data, rng)
+        loss = float(jax.device_get(metrics["loss"]))
+        group_dt.append((time.perf_counter() - t0) / n)
     jax.block_until_ready(state.params)
-    dt = (time.perf_counter() - t0) / iters
+    dt = float(np.median(group_dt))
     tag = "" if res == 32 else f" res={res * 8}"
-    log(f"batch={batch} (accum={grad_accum}){tag}: {dt*1e3:.1f} ms/step, "
+    log(f"batch={batch} (accum={grad_accum}){tag}: {dt*1e3:.1f} ms/step "
+        f"(groups {', '.join(f'{g*1e3:.1f}' for g in group_dt)}), "
         f"loss={loss:.4f}")
     if not jnp.isfinite(loss):
         raise RuntimeError(f"non-finite loss {loss}")

@@ -67,7 +67,14 @@ def test_main_train_mode_ladder_fallthrough(bench, monkeypatch, capsys):
     rec = _main_json(bench, monkeypatch, capsys)
     assert rec["metric"] == "maskdit_xl2_train_images_per_sec"
     assert rec["unit"] == "images/sec/chip"
-    assert rec["value"] > 0 and rec["vs_baseline"] > 0
+    # vs_baseline is checked for CONSISTENCY, not positivity: on a loaded
+    # 1-core box the single timed iter can run slow enough that
+    # round(rate/273.5, 4) becomes 0.0 — a timing artifact, not a wiring
+    # bug (observed 2026-08-19 under 3 concurrent pytest processes).
+    assert rec["value"] > 0
+    assert rec["vs_baseline"] == pytest.approx(
+        rec["value"] / bench.A100_IMAGES_PER_SEC, abs=1e-3
+    )
 
 
 def test_main_train512_mode(bench, monkeypatch, capsys):
@@ -77,7 +84,11 @@ def test_main_train512_mode(bench, monkeypatch, capsys):
     monkeypatch.setenv("MASKDIT_BENCH_512", "2x2")
     rec = _main_json(bench, monkeypatch, capsys, mode="train512")
     assert rec["metric"] == "maskdit_xl2_train512_images_per_sec"
-    assert rec["value"] > 0 and rec["vs_baseline"] > 0
+    # consistency, not positivity — see test_main_train_mode_ladder_fallthrough
+    assert rec["value"] > 0
+    assert rec["vs_baseline"] == pytest.approx(
+        rec["value"] / bench.BASELINE_512_IMGS_PER_SEC, abs=1e-3
+    )
 
 
 def test_main_finetune256_mode(bench, monkeypatch, capsys):
