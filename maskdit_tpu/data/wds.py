@@ -160,6 +160,7 @@ def iterate_rank_shards(
     epoch: int = 0,
     seed: int = 0,
     shuffle_buffer: int = 1000,
+    resample: bool = False,
 ) -> Iterator[tuple[np.ndarray, int]]:
     """Shard-sequential streaming iterator for one rank.
 
@@ -169,14 +170,34 @@ def iterate_rank_shards(
     network storage needs — with per-epoch shard-order shuffling and a
     bounded in-memory shuffle buffer (train_wds.py:67-97 .shuffle(1000)).
 
-    Yields (latent float32, int label). Ranks with no shard this epoch
-    (more ranks than shards) yield nothing — size the shard count to the
-    fleet, as the reference requires.
+    ``resample=True`` switches to the reference's ``--resample`` mode
+    (train_wds.py:72-75,374: webdataset ``resampled=True`` with the
+    nodesplitter disabled): every rank draws its shards iid WITH
+    replacement from the FULL shard list — ranks are decorrelated by
+    seed, not partitioned, so any fleet size works and the stream is
+    i.i.d. at the shard level while tar reads stay strictly linear.
+    One "epoch" here draws ceil(num_shards / process_count) shards, the
+    per-rank share of one nominal pass (the reference bounds epochs by
+    batch count via ``.with_epoch``, train_wds.py:95-96 — the trainer's
+    step budget plays that role for us).
+
+    Yields (latent float32, int label). In split mode, ranks with no
+    shard this epoch (more ranks than shards) yield nothing — size the
+    shard count to the fleet, as the reference requires.
     """
     shards = list_shards(root)
     rng = np.random.RandomState(seed + epoch)
-    order = rng.permutation(len(shards))
-    mine = [shards[i] for i in order[process_index::process_count]]
+    if resample:
+        # fold the rank into the stream so ranks draw independently;
+        # keep (seed+epoch) rng for the shuffle buffer below
+        draw = np.random.RandomState(
+            (seed + epoch) * 1000003 + 7919 * process_index
+        )
+        n_mine = -(-len(shards) // process_count)  # ceil
+        mine = [shards[i] for i in draw.randint(0, len(shards), size=n_mine)]
+    else:
+        order = rng.permutation(len(shards))
+        mine = [shards[i] for i in order[process_index::process_count]]
 
     def records() -> Iterator[tuple[np.ndarray, int]]:
         for _, latent, cls in iterate_samples(mine):
@@ -218,6 +239,7 @@ class StreamingWDSLoader:
         shuffle_buffer: int = 1000,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
+        resample: bool = False,
     ):
         import jax
 
@@ -226,6 +248,7 @@ class StreamingWDSLoader:
         self.label_dim = label_dim
         self.seed = seed
         self.shuffle_buffer = shuffle_buffer
+        self.resample = resample
         self.rank = (
             process_index if process_index is not None else jax.process_index()
         )
@@ -233,12 +256,15 @@ class StreamingWDSLoader:
             process_count if process_count is not None else jax.process_count()
         )
         self.num_shards = len(list_shards(root))  # validates root up front
-        if self.rank >= self.num_shards:
+        if not resample and self.rank >= self.num_shards:
             # this rank owns zero shards EVERY epoch -> __iter__ would spin
-            # without ever yielding; surface the sizing error immediately
+            # without ever yielding; surface the sizing error immediately.
+            # (resample mode draws with replacement from the full shard
+            # list, so any fleet size works — reference train_wds.py:72-75.)
             raise ValueError(
                 f"rank {self.rank} gets no shard: {self.num_shards} shards "
-                f"< {self.world} ranks — add shards or shrink the fleet"
+                f"< {self.world} ranks — add shards, shrink the fleet, or "
+                f"set data.resampled: true"
             )
 
     def _collate(self, pending) -> dict[str, np.ndarray]:
@@ -257,7 +283,7 @@ class StreamingWDSLoader:
         while True:
             for item in iterate_rank_shards(
                 self.root, self.rank, self.world, epoch, self.seed,
-                self.shuffle_buffer,
+                self.shuffle_buffer, resample=self.resample,
             ):
                 pending.append(item)
                 if len(pending) == self.batch_size:

@@ -238,6 +238,9 @@ class Trainer:
                 config.data.root, self.local_batch,
                 label_dim=config.model.num_classes, seed=seed,
                 shuffle_buffer=config.data.get("shuffle_buffer", 1000),
+                # reference train_wds.py --resample: shard-level iid draws
+                # with replacement (nodesplitter disabled)
+                resample=config.data.get("resampled", False),
             )
         else:
             self.dataset = build_dataset(config)

@@ -215,6 +215,65 @@ def test_wds_rank_shard_iterator_coverage(tmp_path):
     assert sum(counts) == 40 and counts.count(0) == 4
 
 
+def test_wds_shard_resample_mode(tmp_path):
+    """resample=True: the reference's --resample semantics (train_wds.py:
+    72-75 — shards drawn iid WITH replacement from the full list, no
+    nodesplitter), so any fleet size works and ranks are decorrelated."""
+    from maskdit_tpu.data.wds import (
+        StreamingWDSLoader, iterate_rank_shards, write_wds_shards,
+    )
+
+    rng = np.random.RandomState(7)
+    records = [
+        (f"{i:07d}", np.full((2, 2, 2), float(i), np.float32), i % 7)
+        for i in range(40)
+    ]
+    outdir = str(tmp_path / "wds")
+    write_wds_shards(records, outdir, maxcount=10)  # 4 shards x 10
+
+    # every rank yields its ceil(shards/world) share even when
+    # world > num_shards (split mode idles the extra ranks)
+    world = 8
+    per_rank = [
+        [int(z[0, 0, 0]) for z, _ in iterate_rank_shards(
+            outdir, r, world, epoch=0, seed=3, shuffle_buffer=4,
+            resample=True)]
+        for r in range(world)
+    ]
+    assert all(len(g) == 10 for g in per_rank)  # ceil(4/8)=1 shard each
+
+    # with replacement: across enough epochs/ranks some shard repeats
+    # within one rank's draw (prob of never repeating is negligible)
+    draws = [
+        frozenset(
+            int(z[0, 0, 0]) // 10
+            for z, _ in iterate_rank_shards(
+                outdir, 0, 1, epoch=e, seed=3, shuffle_buffer=1,
+                resample=True)
+        )
+        for e in range(6)
+    ]
+    assert any(len(d) < 4 for d in draws)  # some epoch drew a duplicate
+
+    # ranks draw independently (decorrelated by rank fold)
+    r0 = [int(z[0, 0, 0]) for z, _ in iterate_rank_shards(
+        outdir, 0, 2, epoch=0, seed=3, shuffle_buffer=1, resample=True)]
+    r1 = [int(z[0, 0, 0]) for z, _ in iterate_rank_shards(
+        outdir, 1, 2, epoch=0, seed=3, shuffle_buffer=1, resample=True)]
+    assert r0 != r1
+
+    # StreamingWDSLoader accepts any fleet size in resample mode
+    loader = StreamingWDSLoader(
+        outdir, batch_size=5, label_dim=7, seed=1, shuffle_buffer=4,
+        process_index=6, process_count=8, resample=True,
+    )
+    batch = next(iter(loader))
+    assert batch["x"].shape == (5, 2, 2, 2)
+    assert batch["y"].shape == (5, 7)
+    vals = batch["x"][:, 0, 0, 0].astype(int)
+    np.testing.assert_array_equal(batch["y"].argmax(1), vals % 7)
+
+
 def test_image_lmdb_cache(tmp_path):
     """imagenet_lmdb_dataset builds a byte cache and reads through it."""
     from maskdit_tpu.data.datasets import imagenet_lmdb_dataset

@@ -155,9 +155,11 @@ def test_trainer_streaming_wds(tmp_path):
     cfg.data.root = root
     cfg.data.streaming = True
     cfg.data.shuffle_buffer = 8
+    cfg.data.resampled = True  # shard-level --resample must reach the loader
     trainer = Trainer(
         cfg, results_dir=str(tmp_path / "out"), seed=0, num_workers=1
     )
+    assert trainer.loader.resample is True
     assert trainer.train() == 4
 
     # streaming requires the wds category
