@@ -9,7 +9,7 @@ from maskdit_tpu.sampling.aot import export_sampler, load_sampler
 from maskdit_tpu.sampling.generate import SamplerConfig, make_sample_fn
 
 
-def test_aot_export_roundtrip():
+def test_aot_export_roundtrip(tiny_dit):
     model = create_model(
         "edm", img_resolution=8, img_channels=4, num_classes=6,
         model_type="DiT-S/2", use_decoder=True, mae_loss_coef=0.1,
@@ -40,7 +40,7 @@ def test_aot_export_roundtrip():
     )
 
 
-def test_generate_cli_export_aot(tmp_path, monkeypatch):
+def test_generate_cli_export_aot(tiny_dit, tmp_path, monkeypatch):
     """generate.py --export_aot writes a reloadable sampler blob from an
     orbax checkpoint (the CLI surface over export_sampler)."""
     import sys

@@ -16,7 +16,7 @@ import pytest
 
 
 @pytest.fixture()
-def bench(monkeypatch):
+def bench(monkeypatch, tiny_dit):
     import bench as mod
     from maskdit_tpu.utils.profiling import maskdit_train_flops_per_image
 

@@ -20,7 +20,7 @@ from maskdit_tpu.utils.profiling import maskdit_train_flops_per_image, mfu
 
 
 @pytest.fixture(scope="module")
-def tiny_net():
+def tiny_net(tiny_dit_module):
     model = create_model(
         "edm", img_resolution=8, img_channels=4, num_classes=6,
         model_type="DiT-S/2", use_decoder=True, mae_loss_coef=0.1,
@@ -131,7 +131,7 @@ def test_resolve_class_outdir(tmp_path):
     assert outdir == str(tmp_path / "samples" / "golden_retriever")
 
 
-def test_generate_with_external_features(tmp_path):
+def test_generate_with_external_features(tiny_dit, tmp_path):
     """feat_fn plumbing: a model built with ext_feature_dim > 0 samples
     with retrieved (feature, matching-label) rows; the features actually
     condition the output (reference samplers forward feat= the same way,
@@ -189,7 +189,7 @@ def test_generate_with_external_features(tmp_path):
     assert not np.allclose(with_feat, without), "features had no effect"
 
 
-def test_generate_cli_no_decode(tmp_path, monkeypatch):
+def test_generate_cli_no_decode(tiny_dit, tmp_path, monkeypatch):
     """generate.py main() end to end on CPU: orbax EMA checkpoint ->
     latents written as .npy (--no_decode skips the VAE)."""
     import sys

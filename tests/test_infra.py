@@ -117,8 +117,11 @@ def test_fit_spec_divisibility():
     assert _fit_spec(P(), (), mesh) == P()
 
 
-def test_sharded_train_step_multichip():
-    """Full production train step on a 2x2x2 mesh (the dryrun path)."""
+def test_sharded_train_step_multichip(tiny_dit):
+    """Full production train step on a 2x2x2 mesh (the dryrun path).
+
+    tiny_dit shrinks the DiT-S/2 the dryrun builds — same code path,
+    ~5x less XLA:CPU compile; the driver still runs the real dryrun."""
     import __graft_entry__ as entrymod
 
     entrymod.dryrun_multichip(8)

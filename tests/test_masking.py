@@ -142,7 +142,7 @@ def test_scatter_tokens_padded_drops_tail():
                 np.testing.assert_array_equal(np.asarray(out[b, p]), -1.0)
 
 
-def test_padded_forward_matches_packed_forward():
+def test_padded_forward_matches_packed_forward(tiny_dit):
     """Padded-tail attention masking must reproduce packed-path numerics."""
     from maskdit_tpu.models import create_model
     from maskdit_tpu.models.masking import (
@@ -187,7 +187,7 @@ def test_padded_forward_matches_packed_forward():
     )
 
 
-def test_padded_train_step_single_compile_all_ratios():
+def test_padded_train_step_single_compile_all_ratios(tiny_dit):
     """One compiled step must serve every schedule ratio (pad_to_max)."""
     from maskdit_tpu.models import create_model
     from maskdit_tpu.train.state import (

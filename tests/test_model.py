@@ -199,7 +199,7 @@ def test_pad_cls_token_path():
 
 
 @pytest.mark.parametrize("name", ["DiT-B/4", "DiT-L/8", "DiT-H/8"])
-def test_registry_variants_forward(name):
+def test_registry_variants_forward(tiny_dit, name):
     """Every registry family builds and runs (patch sizes 4/8 shrink L)."""
     model = create_dit(
         name, input_size=16, in_channels=4, num_classes=5,
@@ -216,7 +216,7 @@ def test_registry_variants_forward(name):
 
 
 @pytest.mark.parametrize("policy", ["names", "names_lite"])
-def test_remat_names_matches_no_remat(policy):
+def test_remat_names_matches_no_remat(tiny_dit, policy):
     """Named-checkpoint remat must be numerically identical to no remat."""
     import jax
     import jax.numpy as jnp

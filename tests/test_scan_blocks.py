@@ -20,7 +20,7 @@ def _models():
     )
 
 
-def test_scan_blocks_match_unrolled():
+def test_scan_blocks_match_unrolled(tiny_dit):
     unrolled, scanned = _models()
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
     sigma = jnp.array([0.5, 2.0])
@@ -81,7 +81,7 @@ def test_stack_unstack_roundtrip():
         np.testing.assert_array_equal(a, b)
 
 
-def test_scan_param_shardings():
+def test_scan_param_shardings(tiny_dit):
     from maskdit_tpu.parallel import create_mesh, param_specs, shardings_for
 
     _, scanned = _models()

@@ -54,7 +54,7 @@ STEP_KW = dict(
 )
 
 
-def test_sharded_step_matches_unsharded():
+def test_sharded_step_matches_unsharded(tiny_dit):
     """The dp2/fsdp2/tp2 sharded step must compute the same math as the
     single-device step on the same params, batch and seeds — the TPU
     counterpart of DDP's exact-replica guarantee (reference train.py:220).
@@ -125,7 +125,7 @@ def test_sharded_step_matches_unsharded():
         )
 
 
-def test_sharded_step_with_sr_nu_matches_unsharded():
+def test_sharded_step_with_sr_nu_matches_unsharded(tiny_dit):
     """train.nu_dtype='bfloat16' (stochastically rounded narrow second
     moment, ops/fused_adam.py:adam_sr_nu) on the dp2/fsdp2/tp2 sharded
     step: same loss and params as the single-device step, nu stays bf16
@@ -176,7 +176,7 @@ def test_sharded_step_with_sr_nu_matches_unsharded():
         )
 
 
-def test_fused_adam_matches_staged_on_sharded_mesh():
+def test_fused_adam_matches_staged_on_sharded_mesh(tiny_dit):
     """The fused single-sweep Adam+EMA (jnp mode) un-gated on sharded
     meshes (VERDICT r3 next #4): on a {data:2, fsdp:2, tensor:2} mesh it
     must produce the same params/EMA/moments as the staged optax chain —
@@ -251,7 +251,7 @@ def test_fused_adam_matches_staged_on_sharded_mesh():
     assert "all-gather" not in hlo, "fused optimizer introduced gathers"
 
 
-def test_fused_sr_nu_on_sharded_mesh_matches_unsharded():
+def test_fused_sr_nu_on_sharded_mesh_matches_unsharded(tiny_dit):
     """FusedAdamEma with nu_dtype='bfloat16' (the full narrow-state
     config) on the sharded mesh: loss and params track the unsharded
     fused run; nu stays bf16. The SR key derives from the Adam step
@@ -302,7 +302,7 @@ def test_fused_sr_nu_on_sharded_mesh_matches_unsharded():
         )
 
 
-def test_cross_topology_checkpoint_restore(tmp_path):
+def test_cross_topology_checkpoint_restore(tmp_path, tiny_dit):
     """Save from a 2x2x2-sharded run, restore onto a data-only 8-way
     layout, and continue training — the elastic-resume scenario."""
     from maskdit_tpu.utils.ckpt import CheckpointManager
@@ -353,7 +353,7 @@ def test_cross_topology_checkpoint_restore(tmp_path):
         mgr_b.close()
 
 
-def test_restored_run_matches_uninterrupted_run(tmp_path):
+def test_restored_run_matches_uninterrupted_run(tmp_path, tiny_dit):
     """Save/restore must be transparent to the training trajectory:
     2 continuous sharded steps == 1 step + save + cross-topology restore
     + 1 step, bitwise up to collective reordering."""

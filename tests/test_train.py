@@ -130,7 +130,7 @@ def test_reparameterize_moments():
     np.testing.assert_allclose(np.asarray(z), 3.0 * 0.18215, atol=1e-4)
 
 
-def test_train_step_runs_and_learns():
+def test_train_step_runs_and_learns(tiny_dit):
     """Tiny end-to-end: two steps reduce loss deterministically? At least
     run, update params, keep EMA in sync, bump step."""
     from maskdit_tpu.models import create_model
@@ -174,7 +174,7 @@ def test_train_step_runs_and_learns():
     assert dev < 1e-2
 
 
-def test_train_step_with_ext_features():
+def test_train_step_with_ext_features(tiny_dit):
     """ext_feature_dim > 0: batch['feat'] conditions the model
     (reference: train feature path, datasets.py:286-295 + maskdit feat_embedder)."""
     from maskdit_tpu.models import create_model
@@ -218,7 +218,7 @@ def test_train_step_with_ext_features():
     assert float(m["loss"]) != float(m2["loss"])
 
 
-def test_train_step_finetune_mode():
+def test_train_step_finetune_mode(tiny_dit):
     """mask_ratio=0 (unmasked finetune, reference configs/finetune/*): the
     full step runs with the plain mean-flat loss and no mask RNG use."""
     from maskdit_tpu.models import create_model
@@ -245,7 +245,7 @@ def test_train_step_finetune_mode():
     assert "mae_loss" not in m  # no MAE term without masking
 
 
-def test_ema_every_amortization():
+def test_ema_every_amortization(tiny_dit):
     """ema_every=k: EMA only moves on every k-th step, with decay^k."""
     from maskdit_tpu.models import create_model
     from maskdit_tpu.train.state import (
@@ -282,7 +282,7 @@ def test_ema_every_amortization():
     assert moved
 
 
-def test_amp_grads_step_close_to_fp32():
+def test_amp_grads_step_close_to_fp32(tiny_dit):
     """amp_grads=True (bf16 gradient tree, the reference's AMP design) must
     track the fp32-grad step closely and keep fp32 master params."""
     from maskdit_tpu.models import create_model
@@ -319,7 +319,7 @@ def test_amp_grads_step_close_to_fp32():
     )
 
 
-def test_grad_accum_bf16_accumulator_tracks_fp32():
+def test_grad_accum_bf16_accumulator_tracks_fp32(tiny_dit):
     """accum_dtype='bfloat16' (the memory-lean accumulation mode that lets
     large accumulated batches fit next to the fp32 optimizer state) must
     produce per-step parameter updates within bf16 rounding of the exact
@@ -378,7 +378,7 @@ def test_grad_accum_bf16_accumulator_tracks_fp32():
     assert np.median(devs) < 0.01 * lr
 
 
-def test_grad_accum_unroll_matches_sequential():
+def test_grad_accum_unroll_matches_sequential(tiny_dit):
     """accum_unroll only re-associates the in-round carry adds (a perf
     knob to cut accumulator HBM traffic); the step must match unroll=1
     to fp re-association tolerance, and indivisible factors must raise."""
@@ -428,7 +428,7 @@ def test_grad_accum_unroll_matches_sequential():
         bad(state, batch, rng)
 
 
-def test_peel_last_micro_matches_scanned():
+def test_peel_last_micro_matches_scanned(tiny_dit):
     """peel_last_micro computes the same sums in the same order (the last
     micro's grads are just added outside the scan); params, loss and aux
     must match the fully-scanned step to float tolerance."""

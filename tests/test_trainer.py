@@ -51,7 +51,7 @@ wandb: {entity: none, project: none, group: none}
 
 
 @pytest.mark.slow
-def test_trainer_end_to_end(tmp_path):
+def test_trainer_end_to_end(tiny_dit, tmp_path):
     from maskdit_tpu.train.trainer import Trainer
 
     cfg = config_lib.loads(SMOKE_CONFIG)
@@ -115,7 +115,7 @@ def test_retrieve_n_features(tmp_path):
 
 
 @pytest.mark.slow
-def test_trainer_pad_to_max_single_step_cache(tmp_path):
+def test_trainer_pad_to_max_single_step_cache(tiny_dit, tmp_path):
     """With train.pad_to_max, a varying mask schedule uses ONE compiled
     step (VERDICT r1 weak #7)."""
     from maskdit_tpu.train.trainer import Trainer
@@ -135,7 +135,7 @@ def test_trainer_pad_to_max_single_step_cache(tmp_path):
 
 
 @pytest.mark.slow
-def test_trainer_streaming_wds(tmp_path):
+def test_trainer_streaming_wds(tiny_dit, tmp_path):
     """data.streaming: true trains from shard-sequential WDS tars end to
     end (VERDICT r2 weak #7 follow-through: the mode is reachable from
     the CLI config, not just a library function)."""
