@@ -180,14 +180,19 @@ def run(
     if warmup:
         # honest sync: fetch a scalar derived from the full step
         float(jax.device_get(metrics["loss"]))
-    # Median of 3 async groups: steps within a group pipeline normally
+    # Min of 3 async groups: steps within a group pipeline normally
     # (dispatch overlaps execution); each group ends on a device_get
     # round-trip (block_until_ready is not an honest sync under the axon
     # relay). The relay sporadically stalls for tens of seconds (observed
     # on the train_io path, 26-188 s one-offs) — a single flat mean would
-    # hand the driver a garbage headline; the median survives one stalled
-    # group at ~0.1% sync overhead.
+    # hand the driver a garbage headline. Stalls can only SLOW a group,
+    # never speed it up, so the min is the robust steady-state estimator
+    # (survives 2 of 3 stalled groups, where the r4 median survived only
+    # 1 — ADVICE r4). The peak-TFLOPs guard below still bounds it.
     sizes = [n for n in (iters - 2 * (iters // 3), iters // 3, iters // 3) if n]
+    if len(sizes) < 3:
+        log(f"WARNING: iters={iters} gives only {len(sizes)} timing "
+            f"group(s) - no stall rejection")
     group_dt, loss = [], 0.0
     for n in sizes:
         t0 = time.perf_counter()
@@ -196,7 +201,7 @@ def run(
         loss = float(jax.device_get(metrics["loss"]))
         group_dt.append((time.perf_counter() - t0) / n)
     jax.block_until_ready(state.params)
-    dt = float(np.median(group_dt))
+    dt = float(np.min(group_dt))
     tag = "" if res == 32 else f" res={res * 8}"
     log(f"batch={batch} (accum={grad_accum}){tag}: {dt*1e3:.1f} ms/step "
         f"(groups {', '.join(f'{g*1e3:.1f}' for g in group_dt)}), "
@@ -252,9 +257,15 @@ def run_sampling(batch: int = 50, num_steps: int = 40, res: int = 32) -> float:
 
     spi = maskdit_sample_flops_per_image(MODEL, res, num_steps, 1.5)
     tflops = (batch / dt) * spi / 1e12
+    # spi counts EXECUTED model FLOPs (79 Heun evals x CFG double-batch),
+    # so this is an HFU-style executed-FLOPs utilization — not an MFU in
+    # the per-generated-image sense, and not comparable to the training
+    # MFU reported alongside it (ADVICE r4). There is no smaller "useful"
+    # FLOP count for a sampler: every eval is algorithmically required.
     log(f"sampling batch={batch}, {num_steps} steps: {dt*1e3:.0f} ms/batch "
         f"-> {batch/dt:.2f} imgs/s = {tflops:.1f} TFLOP/s "
-        f"({100 * tflops / V5E_PEAK_TFLOPS:.1f}% MFU incl. CFG x2)")
+        f"({100 * tflops / V5E_PEAK_TFLOPS:.1f}% executed-FLOPs util, "
+        f"HFU-style: counts all 79 CFG-doubled evals)")
     if tflops > V5E_PEAK_TFLOPS:
         raise RuntimeError(
             f"implied {tflops:.0f} TFLOP/s exceeds chip peak - timing invalid"
@@ -266,9 +277,18 @@ def run_sampling_sweep(num_steps: int = 40, res: int = 32) -> float:
     """Best sampling throughput over a batch ladder (reference caps at 50
     per GPU, train.py:317; one v5e chip holds larger CFG double-batches).
     Forward-only activations are small — the ladder extends well past the
-    training batch sizes before HBM pressure appears (r4 sweep)."""
+    training batch sizes. It CAPS at 192 at 256-res: the r4 sweep showed
+    batch >= 256 FAULTS the TPU worker (not a clean OOM), which can kill
+    the process before the JSON line prints. Saturation is at 128-192
+    anyway (3.68 vs 3.69 imgs/s). Probe bigger rungs explicitly with
+    MASKDIT_BENCH_SAMPLE_LADDER=... in a throwaway process."""
     best = 0.0
-    ladder = (50, 64, 96, 128, 192, 256) if res <= 32 else (16, 32, 48, 64)
+    default = "50,64,96,128,192" if res <= 32 else "16,32,48,64"
+    ladder = tuple(
+        int(b) for b in os.environ.get(
+            "MASKDIT_BENCH_SAMPLE_LADDER", default
+        ).split(",")
+    )
     for batch in ladder:
         try:
             best = max(best, run_sampling(batch, num_steps, res))

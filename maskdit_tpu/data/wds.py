@@ -186,12 +186,14 @@ def iterate_rank_shards(
     shard count to the fleet, as the reference requires.
     """
     shards = list_shards(root)
-    rng = np.random.RandomState(seed + epoch)
+    rng = np.random.RandomState((seed + epoch) % (2**32))
     if resample:
         # fold the rank into the stream so ranks draw independently;
-        # keep (seed+epoch) rng for the shuffle buffer below
+        # keep (seed+epoch) rng for the shuffle buffer below. RandomState
+        # seeds are capped at 2**32-1 and StreamingWDSLoader increments
+        # epoch forever, so reduce the fold mod 2**32.
         draw = np.random.RandomState(
-            (seed + epoch) * 1000003 + 7919 * process_index
+            ((seed + epoch) * 1000003 + 7919 * process_index) % (2**32)
         )
         n_mine = -(-len(shards) // process_count)  # ceil
         mine = [shards[i] for i in draw.randint(0, len(shards), size=n_mine)]

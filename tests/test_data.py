@@ -262,6 +262,13 @@ def test_wds_shard_resample_mode(tmp_path):
         outdir, 1, 2, epoch=0, seed=3, shuffle_buffer=1, resample=True)]
     assert r0 != r1
 
+    # long-run epochs: the folded RandomState seed must be reduced mod
+    # 2**32 (seed+epoch >= 4295 used to overflow the 32-bit seed cap and
+    # crash mid-training — ADVICE r4)
+    late = [int(z[0, 0, 0]) for z, _ in iterate_rank_shards(
+        outdir, 1, 2, epoch=5000, seed=3, shuffle_buffer=1, resample=True)]
+    assert len(late) == 20  # ceil(4/2)=2 shards x 10 records
+
     # StreamingWDSLoader accepts any fleet size in resample mode
     loader = StreamingWDSLoader(
         outdir, batch_size=5, label_dim=7, seed=1, shuffle_buffer=4,

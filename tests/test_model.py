@@ -198,6 +198,44 @@ def test_pad_cls_token_path():
     assert out["mask"].shape == (2, 16)
 
 
+def test_real_dims_s2_smoke():
+    """One forward at TRUE DiT-S/2 registry dims (ADVICE r4).
+
+    Most model/train/sharding tests run under the tiny_dit fixture, which
+    rebinds 'DiT-S/2' to depth-2/hidden-64 — so real-dimension constraints
+    (head-dim divisibility at 384/6, the fixed 8x512x16 decoder projection,
+    non-toy param trees) would otherwise be exercised ONLY by the opt-in
+    slow oracles. This runs masked-train and eval forwards at the real
+    dims (eager, small input: ~17 s on 1-core CPU) so a registry- or
+    decoder-dimension regression fails in the default suite.
+    """
+    model = create_dit(
+        "DiT-S/2", input_size=8, in_channels=4, num_classes=10,
+        use_decoder=True, mae_loss_coef=0.1, dtype=jnp.float32,
+        use_flash=False,
+    )
+    assert (model.depth, model.hidden_size, model.num_heads) == (12, 384, 6)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 8, 8))
+    t = jnp.ones((2,))
+    y = jax.nn.one_hot(jnp.array([1, 2]), 10)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        x, t, y, mask_ratio=0.5, train=True,
+    )
+    n_params = sum(
+        int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"])
+    )
+    assert 40_000_000 < n_params < 80_000_000, n_params  # real S/2+decoder
+    out = model.apply(
+        variables, x, t, y, mask_ratio=0.5, train=True,
+        rngs={"mask": jax.random.PRNGKey(3)},
+    )
+    assert out["x"].shape == (2, 4, 8, 8)
+    assert np.all(np.isfinite(np.asarray(out["x"], dtype=np.float32)))
+    out_eval = model.apply(variables, x, t, y, train=False)
+    assert out_eval["x"].shape == (2, 4, 8, 8)
+
+
 @pytest.mark.parametrize("name", ["DiT-B/4", "DiT-L/8", "DiT-H/8"])
 def test_registry_variants_forward(tiny_dit, name):
     """Every registry family builds and runs (patch sizes 4/8 shrink L)."""
