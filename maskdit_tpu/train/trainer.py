@@ -299,6 +299,8 @@ class Trainer:
                     mask_len_max=self._mask_len_max(),
                     amp_grads=self.config.train.get("amp_grads", False),
                     accum_dtype=self.config.train.get("accum_dtype", None),
+                    ema_decay=self.config.train.get("ema_decay", 0.9999),
+                    ema_every=self.config.train.get("ema_every", 1),
                 )
             return self._step_cache[key]
         ratio = bucket_ratio(ratio, self.seq_len)
@@ -311,6 +313,11 @@ class Trainer:
                 grad_accum=self.grad_accum,
                 amp_grads=self.config.train.get("amp_grads", False),
                 accum_dtype=self.config.train.get("accum_dtype", None),
+                # reference update_ema default decay=0.9999 (helper.py:48);
+                # train.ema_decay overrides (short overfit runs need a
+                # faster horizon — tools/overfit_gate.py)
+                ema_decay=self.config.train.get("ema_decay", 0.9999),
+                ema_every=self.config.train.get("ema_every", 1),
             )
         return self._step_cache[ratio]
 

@@ -80,7 +80,9 @@ def make_eval_hook(cfg, args):
 
     import fid as fid_cli
 
-    args.random_detector = False
+    # --random_detector exists for dry-wiring the hook without the
+    # pytorch-fid asset (FID values are then meaningless; build_detector
+    # prints the warning). Production runs pass --detector_path.
     detector = fid_cli.build_detector(args)
 
     def hook(step: int, ema_params) -> dict:
@@ -131,6 +133,10 @@ def main() -> None:
     parser.add_argument("--pretrained_path", type=str,
                         default="assets/stable_diffusion/autoencoder_kl.pth")
     parser.add_argument("--detector_path", type=str, default=None)
+    parser.add_argument("--random_detector", action="store_true",
+                        help="random InceptionV3 weights: dry-wires the "
+                             "eval hook when the pytorch-fid asset is "
+                             "unavailable (FID values are meaningless)")
     parser.add_argument("--debug_nans", action="store_true",
                         help="raise on NaN/Inf in any compiled computation")
     parser.add_argument("overrides", nargs="*",
