@@ -39,11 +39,37 @@ def ambient_mesh() -> Optional[Mesh]:
     The trainer and the sharded entry points trace their jitted steps
     inside the mesh context (trainer.py ``with self.mesh:``), so this is
     visible at trace time exactly when the kernels would run sharded.
-    """
-    from jax._src.mesh import thread_resources
 
-    mesh = thread_resources.env.physical_mesh
+    jax 0.9 exposes no public accessor for the legacy physical-mesh
+    context (``jax.sharding.get_abstract_mesh`` tracks only the
+    ``use_mesh`` sharding-in-types context), so this reads the private
+    ``thread_resources`` — guarded: if a jax upgrade moves it, we return
+    the mesh as "unknown" rather than crash, and the caller must take
+    the safe path. See :func:`shard_safe_kernel` for how AMBIENT_UNKNOWN
+    is handled (kernels disabled, XLA attention partitions natively).
+    """
+    try:
+        from jax._src.mesh import thread_resources
+
+        mesh = thread_resources.env.physical_mesh
+    except Exception:  # pragma: no cover - exercised via monkeypatch
+        return AMBIENT_UNKNOWN
     return None if mesh.empty else mesh
+
+
+class _AmbientUnknown:
+    """Sentinel: the mesh context could not be determined.
+
+    Truthy and not a Mesh, so ``shard_safe_kernel`` (and any caller
+    comparing against ``None``) treats it as "possibly sharded" and
+    falls back to the XLA path — never a silently-gathered kernel.
+    """
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return "AMBIENT_UNKNOWN"
+
+
+AMBIENT_UNKNOWN = _AmbientUnknown()
 
 
 def shard_safe_kernel(
@@ -57,7 +83,13 @@ def shard_safe_kernel(
     qkv, or ``None`` when no gather-free mapping exists (caller must use
     the XLA path). ``batch`` is the static global batch dimension.
     """
-    if mesh is None or all(int(s) == 1 for s in mesh.shape.values()):
+    if mesh is None:
+        return kernel_fn
+    if not isinstance(mesh, Mesh):
+        # AMBIENT_UNKNOWN (or anything that isn't a Mesh): we cannot
+        # prove single-chip, so take the XLA path
+        return None
+    if all(int(s) == 1 for s in mesh.shape.values()):
         return kernel_fn
     if not set(mesh.shape.keys()) <= KNOWN_AXES:
         return None
@@ -73,6 +105,13 @@ def shard_safe_kernel(
     if batch % n_shards:
         return None
     spec = P(DATA_AXES, None, None)
+    # check_vma=False: pallas_call's out_shape ShapeDtypeStructs carry no
+    # varying-mesh-axes annotation, and jax's default check_vma=True
+    # rejects them inside shard_map (found by the interpret-mode test —
+    # the real-TPU path would hit the same trace-time error). The mapping
+    # is trivially per-device (batch-only sharding, no collectives), so
+    # the vma check adds nothing here.
     return jax.shard_map(
-        kernel_fn, mesh=mesh, in_specs=(spec,), out_specs=spec
+        kernel_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        check_vma=False,
     )

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from maskdit_tpu.ops.interpret import interpret_mode
+
 LANE = 128
 
 
@@ -100,6 +102,7 @@ def _flash_fwd(q, k, v, scale):
             jax.ShapeDtypeStruct((n, l, d), q.dtype),
             jax.ShapeDtypeStruct((n, 1, l), jnp.float32),
         ],
+        interpret=interpret_mode(),
     )(q, k, v)
     return o, (q, k, v, o, lse)
 
@@ -118,6 +121,7 @@ def _flash_bwd(scale, residuals, g):
             jax.ShapeDtypeStruct((n, l, d), k.dtype),
             jax.ShapeDtypeStruct((n, l, d), v.dtype),
         ],
+        interpret=interpret_mode(),
     )(q, k, v, o, lse, g)
     return dq, dk, dv
 

@@ -33,10 +33,38 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from maskdit_tpu.ops.interpret import interpret_mode
+
 LANE = 128
 # VMEM working-set budget: double-buffered qkv/do/dqkv blocks must fit
 # beside per-head fp32 logits scratch on a ~16 MB v5e core.
 _VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _pad_heads() -> bool:
+    """Opt-in experiment (VERDICT r4 next #4): zero-pad each head's
+    (hd, L) q/k slices to the full 128 MXU sublane height before the
+    score dot. hd=72 contractions use 72 of the MXU's 128 rows; the
+    hypothesis was that an aligned 128-row operand issues without
+    masking/relayout overhead. The v/o dots contract L (already
+    128-aligned) and are untouched. Read at trace time; toggle with
+    MASKDIT_FLASH_PAD_HEADS=1. Measured on v5e — see STATUS.md round 5."""
+    import os
+
+    return os.environ.get("MASKDIT_FLASH_PAD_HEADS", "") == "1"
+
+
+def _maybe_pad_s_dot(qT, kT, scale):
+    """Score dot with optional sublane padding of the contraction dim."""
+    hd, l = qT.shape
+    if _pad_heads() and hd % LANE:
+        pad = LANE - hd % LANE
+        zer = jnp.zeros((pad, l), qT.dtype)
+        qT = jnp.concatenate([qT, zer], axis=0)
+        kT = jnp.concatenate([kT, zer], axis=0)
+    return jax.lax.dot_general(
+        qT, kT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
 
 
 def _fwd_kernel(qkv_ref, o_ref, ot_ref, *, scale: float, heads: int, d: int):
@@ -54,9 +82,7 @@ def _fwd_kernel(qkv_ref, o_ref, ot_ref, *, scale: float, heads: int, d: int):
         kT = qkvT[d + h * hd:d + (h + 1) * hd, :]
         vT = qkvT[2 * d + h * hd:2 * d + (h + 1) * hd, :]
         # s_ij = sum_d q_id k_jd  ==  contract the sublane (d) dim
-        s = jax.lax.dot_general(
-            qT, kT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (L, L)
+        s = _maybe_pad_s_dot(qT, kT, scale)  # (L, L)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -80,9 +106,7 @@ def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, dt_ref,
         vT = qkvT[2 * d + h * hd:2 * d + (h + 1) * hd, :]
         doTh = doT[h * hd:(h + 1) * hd, :]
 
-        s = jax.lax.dot_general(
-            qT, kT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        s = _maybe_pad_s_dot(qT, kT, scale)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         l = jnp.sum(e, axis=-1, keepdims=True)
@@ -142,6 +166,7 @@ def _packed_fwd(qkv, num_heads, scale):
         out_specs=_block(l, d),
         out_shape=jax.ShapeDtypeStruct((n, l, d), qkv.dtype),
         scratch_shapes=[pltpu.VMEM((d, l), qkv.dtype)],
+        interpret=interpret_mode(),
     )(qkv)
     return out, qkv
 
@@ -156,6 +181,7 @@ def _packed_bwd(num_heads, scale, qkv, g):
         out_specs=_block(l, three_d),
         out_shape=jax.ShapeDtypeStruct((n, l, three_d), qkv.dtype),
         scratch_shapes=[pltpu.VMEM((three_d, l), qkv.dtype)],
+        interpret=interpret_mode(),
     )(qkv, g.astype(qkv.dtype))
     return (dqkv,)
 

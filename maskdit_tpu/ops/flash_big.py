@@ -44,6 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from maskdit_tpu.ops.interpret import interpret_mode
+
 # VMEM plan budget: leave headroom under the ~16 MB/core for Mosaic's own
 # temporaries and pipeline bookkeeping.
 _VMEM_BUDGET = 10 * 1024 * 1024
@@ -217,6 +219,7 @@ def _big_fwd(qkv, num_heads, scale):
         in_specs=_qkv_specs(dg, l, g),
         out_specs=_out_spec(dg, l),
         out_shape=jax.ShapeDtypeStruct((n, d, l), qkv.dtype),
+        interpret=interpret_mode(),
     )(qkvT, qkvT, qkvT)
     return jnp.swapaxes(oT, 1, 2), qkvT
 
@@ -237,6 +240,7 @@ def _big_bwd(num_heads, scale, qkvT, gout):
         in_specs=_qkv_specs(dg, l, g) + [_out_spec(dg, l)],
         out_specs=[_out_spec(dg, l)] * 3,
         out_shape=[out_sd] * 3,
+        interpret=interpret_mode(),
     )(qkvT, qkvT, qkvT, doT)
     dqkvT = jnp.concatenate([dqT, dkT, dvT], axis=1)  # (N, 3D, L)
     return (jnp.swapaxes(dqkvT, 1, 2),)
