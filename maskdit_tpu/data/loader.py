@@ -112,6 +112,17 @@ class DataLoader:
         return batch
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        # fail fast instead of spinning through empty epochs forever: with
+        # drop_last, a per-rank slice smaller than one batch yields ZERO
+        # batches per epoch and this loop would silently hang the trainer
+        # (found by tools/overfit_gate.py with an 8-record dataset)
+        per_rank = len(self.epoch_indices(0))
+        if self.drop_last and per_rank < self.batch_size:
+            raise ValueError(
+                f"dataset yields {per_rank} samples/rank/epoch < batch_size "
+                f"{self.batch_size}: no full batch would ever be produced "
+                "(shrink the batch or grow/replicate the dataset)"
+            )
         epoch = 0
         while True:
             yield from self.batches(epoch)

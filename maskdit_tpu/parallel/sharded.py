@@ -67,6 +67,22 @@ def make_sharded_train_step(
 
     batch enters sharded over the data-like axes; metrics leave replicated.
     """
+    if (
+        "microbatch_sharding" not in step_kwargs
+        and step_kwargs.get("grad_accum", 1) > 1
+    ):
+        data_like = int(mesh.shape.get("data", 1)) * int(
+            mesh.shape.get("fsdp", 1)
+        )
+        if data_like > 1:
+            # keep each accumulation micro-batch sharded over the
+            # data-like axes ((grad_accum, micro, ...) leaves, batch on
+            # dim 1) — see the state.py constraint comment for why
+            from jax.sharding import NamedSharding
+
+            step_kwargs["microbatch_sharding"] = NamedSharding(
+                mesh, mesh_lib.P(None, ("data", "fsdp"))
+            )
     step = make_train_step(model, optimizer, **step_kwargs)
     # inputs arrive pre-sharded (state from create_sharded_state, batches
     # from data.loader.prefetch), so only outputs are constrained — this

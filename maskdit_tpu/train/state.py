@@ -243,6 +243,7 @@ def make_train_step(
     accum_dtype: Optional[str] = None,
     accum_unroll: int = 1,
     peel_last_micro: bool = False,
+    microbatch_sharding: Optional[Any] = None,
 ) -> Callable[[TrainState, dict, jax.Array], tuple[TrainState, dict]]:
     """Build the jittable train step.
 
@@ -367,6 +368,24 @@ def make_train_step(
                 )
 
             xs, ys, feats = split(x), split(y), split(feat)
+
+            if microbatch_sharding is not None:
+                # Re-anchor the batch sharding after the (N,) ->
+                # (grad_accum, micro) reshape: GSPMD's propagation gives
+                # up on this reshape and REPLICATES the micro-batches,
+                # which turns every weight matmul into a partial-sum +
+                # full-activation all-reduce (604 MB fp32 per fc1 per
+                # micro at XL/2 micro-256 — found by
+                # tools/xl_shard_report.py's collective inventory).
+                # Constrained, each scan slice stays batch-sharded and
+                # GSPMD gathers the (10 MB) weights instead.
+                cons = lambda a: (
+                    None if a is None
+                    else jax.lax.with_sharding_constraint(
+                        a, microbatch_sharding
+                    )
+                )
+                xs, ys, feats = cons(xs), cons(ys), cons(feats)
 
             def accum(carry, inputs):
                 g_sum, l_sum = carry

@@ -1,0 +1,261 @@
+"""Trainability gate: overfit a tiny DiT end to end, then sample it back.
+
+The reference validates its training system by training XL/2 to FID 2.28
+(/root/reference/train.py:198-287, README.md:48-53) — unreachable in a
+zero-egress box. This is the strongest in-box proxy (VERDICT r4 next #1):
+
+  1. fix K distinct latents (one per class) and write them through the
+     REAL latent-LMDB path (moments records, logvar=-30 so the on-device
+     reparameterization is deterministic);
+  2. train a small DiT through the REAL Trainer (masked EDM loss + MAE
+     aux, grad-accum-free Adam + EMA, checkpointing) with the reference
+     recipe's two phases compressed into one run via a mask-ratio
+     schedule (masked pretrain -> unmasked tail, helper.py:9-27);
+  3. EDM-sample from the EMA params conditioned on each class and assert
+     nearest-neighbor identification against the training set: sample k
+     must be closest to latent k, with min-MSE far below the off-target
+     MSE (diffusion on a point mass per class must reproduce the point).
+
+Run:  python tools/overfit_gate.py [--steps 1500] [--out /tmp/overfit]
+Exit code 0 = gate passed; the JSON verdict prints on stdout.
+
+Measured (this box, 1-core CPU, defaults): loss 0.86 -> ~0.03; identity
+NN match 8/8 with on-target MSE ~1e-3 of the off-target mean. See
+STATUS.md round 5 for the banked numbers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_fixture(
+    root: str, k: int, res: int, channels: int, seed: int = 0,
+    repeat: int = 16,
+):
+    """K distinct latents, one class each, as a real moments LMDB.
+
+    Targets are drawn at std 2.75 so the trained-on tensor (x scale_factor
+    0.18215, state.py) sits at EDM's sigma_data=0.5 operating point.
+    logvar=-30 makes reparameterize_moments deterministic (eps term
+    ~3e-7), so the training set IS the target set. Each record repeats
+    ``repeat`` times so an epoch holds several full batches (DataLoader
+    fail-fasts when an epoch cannot fill one batch).
+    """
+    from maskdit_tpu.data.datasets import write_latent_lmdb
+
+    rng = np.random.RandomState(seed)
+    targets = rng.randn(k, channels, res, res).astype(np.float32) * 2.75
+    logvar = np.full_like(targets, -30.0)
+    moments = np.concatenate([targets, logvar], axis=1)
+    moments = np.tile(moments, (repeat, 1, 1, 1))
+    labels = np.tile(np.arange(k), repeat)
+    path = os.path.join(root, "latent_lmdb", "train")
+    write_latent_lmdb(path, moments, labels)
+    return os.path.join(root, "latent_lmdb"), targets
+
+
+CONFIG_TMPL = """
+data:
+  dataset: overfit
+  category: lmdb
+  root: {root}
+  resolution: {res}
+  num_channels: {channels}
+model:
+  precond: edm
+  model_type: DiT-S/2
+  in_size: {res}
+  in_channels: {channels}
+  num_classes: {k}
+  use_decoder: True
+  ext_feature_dim: 0
+  pad_cls_token: False
+  mask_ratio: {mask_ratio}
+  mask_ratio_fn: {mask_fn}
+  mask_ratio_min: 0.0
+  mae_loss_coef: 0.1
+  class_dropout_prob: 0.0
+train:
+  fp32: True
+  batchsize: {batch}
+  grad_accum: 1
+  epochs: 1
+  lr: {lr}
+  lr_rampup_kimg: 0
+  xflip: False
+  max_num_steps: {steps}
+  ema_decay: {ema_decay}
+eval:
+  batchsize: 8
+  ref_path: None
+log:
+  log_every: {log_every}
+  ckpt_every: {steps}
+  tag: overfit
+"""
+
+
+def run_gate(
+    steps: int = 1500,
+    out: str | None = None,
+    k: int = 8,
+    res: int = 16,
+    channels: int = 4,
+    batch: int = 32,
+    lr: float = 2e-3,
+    ema_decay: float = 0.995,
+    mask_ratio: float = 0.5,
+    mask_fn: str = "cosine2",
+    num_sample_steps: int = 18,
+    tiny: bool = True,
+    loss_floor: float = 0.12,
+    mse_ratio_bound: float = 0.05,
+) -> dict:
+    import jax
+
+    saved = None
+    if tiny:
+        # small-capacity registry rebind, the documented test mechanism
+        # (tests/conftest.py): the gate tests the TRAINING SYSTEM, not
+        # XL-scale capacity. depth 4 x hidden 128 memorizes 8 latents;
+        # real dims are covered by tests/test_xl_port.py oracles.
+        # Restored in the finally below so in-process callers (tests)
+        # don't leak toy dims into later model builds.
+        from maskdit_tpu.models import dit
+
+        saved = (dit.DIT_CONFIGS["DiT-S/2"], dit.DECODER_HIDDEN_SIZE,
+                 dit.DECODER_DEPTH, dit.DECODER_NUM_HEADS)
+        dit.DIT_CONFIGS["DiT-S/2"] = dict(
+            depth=4, hidden_size=128, patch_size=2, num_heads=4
+        )
+        dit.DECODER_HIDDEN_SIZE = 128
+        dit.DECODER_DEPTH = 2
+        dit.DECODER_NUM_HEADS = 4
+    try:
+        return _run_gate_inner(
+            steps, out, k, res, channels, batch, lr, ema_decay, mask_ratio,
+            mask_fn, num_sample_steps, loss_floor, mse_ratio_bound,
+        )
+    finally:
+        if saved is not None:
+            from maskdit_tpu.models import dit
+
+            (dit.DIT_CONFIGS["DiT-S/2"], dit.DECODER_HIDDEN_SIZE,
+             dit.DECODER_DEPTH, dit.DECODER_NUM_HEADS) = saved
+
+
+def _run_gate_inner(
+    steps, out, k, res, channels, batch, lr, ema_decay, mask_ratio,
+    mask_fn, num_sample_steps, loss_floor, mse_ratio_bound,
+) -> dict:
+    from maskdit_tpu.sampling.generate import SamplerConfig, generate_with_params
+    from maskdit_tpu.train.trainer import Trainer
+    from maskdit_tpu.utils import config as config_lib
+
+    out = out or tempfile.mkdtemp(prefix="overfit_gate_")
+    os.makedirs(out, exist_ok=True)
+    data_root, targets = build_fixture(out, k, res, channels)
+
+    cfg = config_lib.loads(CONFIG_TMPL.format(
+        root=data_root, res=res, channels=channels, k=k, batch=batch,
+        lr=lr, steps=steps, ema_decay=ema_decay, mask_ratio=mask_ratio,
+        mask_fn=mask_fn, log_every=max(1, steps // 30),
+    ))
+    trainer = Trainer(cfg, results_dir=out, seed=0, num_workers=1)
+    final_step = trainer.train()
+
+    # loss curve from the metrics stream the trainer actually logs
+    rows = []
+    with open(os.path.join(trainer.exp_dir, "metrics.jsonl")) as fh:
+        for line in fh:
+            r = json.loads(line)
+            if "train/loss" in r:
+                rows.append((r.get("_step", len(rows)), r["train/loss"]))
+    losses = [v for _, v in rows]
+    loss_start = float(np.mean(losses[:2])) if len(losses) >= 2 else losses[0]
+    loss_end = float(np.mean(losses[-3:]))
+
+    # sample each class from the EMA params (deterministic Heun, no CFG)
+    ema = trainer.state.ema_params
+    samples = []
+    for cls in range(k):
+        imgs = generate_with_params(
+            trainer.model, ema, seeds=[cls], outdir=None,
+            sampler_cfg=SamplerConfig(num_steps=num_sample_steps),
+            class_idx=cls, max_batch_size=1,
+        )
+        samples.append(np.asarray(imgs[0], np.float32))
+    samples = np.stack(samples)  # (k, C, res, res), model space
+
+    scaled = targets * 0.18215  # the space the model was trained in
+    flat_s = samples.reshape(k, -1)
+    flat_t = scaled.reshape(k, -1)
+    mse = ((flat_s[:, None, :] - flat_t[None, :, :]) ** 2).mean(-1)
+    nn = mse.argmin(axis=1)
+    on_target = float(np.mean(np.diag(mse)))
+    off_target = float(
+        np.mean(mse[~np.eye(k, dtype=bool)])
+    )
+    identity = bool((nn == np.arange(k)).all())
+
+    verdict = {
+        "steps": int(final_step),
+        "loss_start": round(loss_start, 4),
+        "loss_end": round(loss_end, 4),
+        "nn_match": f"{int((nn == np.arange(k)).sum())}/{k}",
+        "on_target_mse": float(on_target),
+        "off_target_mse": float(off_target),
+        "mse_ratio": float(on_target / max(off_target, 1e-12)),
+        "passed": bool(
+            identity
+            and loss_end < loss_floor
+            and on_target < mse_ratio_bound * off_target
+        ),
+    }
+    return verdict
+
+
+def main() -> None:
+    p = argparse.ArgumentParser("overfit-and-sample trainability gate")
+    p.add_argument("--steps", type=int, default=1500)
+    p.add_argument("--out", type=str, default=None)
+    p.add_argument("--k", type=int, default=8)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--mask_ratio", type=float, default=0.5)
+    p.add_argument("--mask_fn", type=str, default="cosine2")
+    p.add_argument("--sample_steps", type=int, default=18)
+    p.add_argument("--platform", type=str, default="cpu",
+                   help="cpu (default: deterministic, no tunnel) or tpu")
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("MASKDIT_COMPILE_CACHE", "/tmp/jax_maskdit_cache"),
+    )
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_default_matmul_precision", "highest")
+
+    verdict = run_gate(
+        steps=args.steps, out=args.out, k=args.k, batch=args.batch,
+        lr=args.lr, mask_ratio=args.mask_ratio, mask_fn=args.mask_fn,
+        num_sample_steps=args.sample_steps,
+    )
+    print(json.dumps(verdict))
+    sys.exit(0 if verdict["passed"] else 1)
+
+
+if __name__ == "__main__":
+    main()
