@@ -60,12 +60,18 @@ def _collective_bytes(hlo: str) -> dict:
 
     out: dict = {}
     for line in hlo.splitlines():
+        if "-done(" in line:  # repeats the -start tuple type
+            continue
         for op in ("all-reduce", "all-gather", "reduce-scatter",
                    "collective-permute", "all-to-all"):
-            if f" {op}(" not in line and f"{op}-start(" not in line:
+            if f" {op}(" not in line and f" {op}-start(" not in line:
                 continue
             head = line.split("=", 1)
-            typestr = head[1].split("(")[0] if len(head) == 2 else line
+            # result may be a variadic TUPLE "(f32[...], f32[...])": take
+            # everything between '=' and the op token, parens included
+            typestr = (
+                head[1].split(f" {op}")[0] if len(head) == 2 else line
+            )
             n_bytes = 0
             for dt, dims in re.findall(r"(bf16|f32)\[([\d,]*)\]", typestr):
                 n = 1
@@ -117,15 +123,16 @@ def test_accum_microbatch_stays_sharded(tiny_dit):
 
     assert np.isfinite(results[0])
     np.testing.assert_allclose(results[0], results[1], rtol=2e-5)
-    # measured on this mesh: constrained = all-gathers only (~0.8 MB),
-    # unconstrained = 1.8 MB of activation all-reduces + permutes +
-    # all-to-alls (~2.1 MB total). Pin both the volume drop and the
-    # disappearance of activation all-reduces.
-    tot = {k: sum(v.values()) for k, v in hlo_bytes.items()}
-    assert tot[True] < 0.7 * tot[False], hlo_bytes
-    assert hlo_bytes[True].get("all-reduce", 0) < 0.1 * max(
-        hlo_bytes[False].get("all-reduce", 0), 1
-    ), hlo_bytes
+    # measured on this mesh (tuple-aware byte parser): constrained keeps
+    # ONLY the gradient-sync all-reduce (1.52 MB here) — the activation
+    # resharding collective-permutes disappear entirely and all-reduce
+    # volume drops ~40% (the removed part is the replicated-micro
+    # activation reduces; at XL/2 scale those were 604 MB fp32 per fc1
+    # per micro). Pin both signatures.
+    assert "collective-permute" not in hlo_bytes[True], hlo_bytes
+    assert hlo_bytes[True]["all-reduce"] < 0.7 * hlo_bytes[False][
+        "all-reduce"
+    ], hlo_bytes
 
 
 def test_sharded_step_matches_unsharded(tiny_dit):

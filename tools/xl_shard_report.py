@@ -67,19 +67,35 @@ def collective_inventory(hlo_text: str) -> list[dict]:
     Shapes in post-SPMD optimized HLO are PER-DEVICE.
     """
     out = []
-    pat = re.compile(
-        r"(\w[\w.\-]*) = ([a-z0-9_\[\]{}, ]+?) (all-reduce|all-gather|"
-        r"reduce-scatter|collective-permute|all-to-all)\(",
-    )
+    # The result type may be a VARIADIC TUPLE "(f32[...], f32[...], ...)"
+    # — e.g. XLA fuses the whole gradient tree into ONE tuple all-reduce.
+    # The tuple can span thousands of chars and contains "/*index=N*/"
+    # comments (with '='), so split on substrings rather than regex-span:
+    # type = text between the first '=' and the op token. "-done" ops
+    # repeat their "-start" tuple type and are skipped (no double count).
+    kinds = ("all-reduce", "all-gather", "reduce-scatter",
+             "collective-permute", "all-to-all")
     comp = ""
     for line in hlo_text.splitlines():
         if line and not line[0].isspace() and "{" in line:
             comp = line.split("(")[0].strip().lstrip("%")  # computation header
-        m = pat.search(line)
-        if not m:
+        if "-done(" in line:
             continue
-        kind = m.group(3)
-        shapes = re.findall(r"(bf16|f32|f16|u32|s32|pred)\[([\d,]*)\]", m.group(2))
+        kind, typestr = None, None
+        head = line.split("=", 1)
+        if len(head) != 2:
+            continue
+        for op in kinds:
+            for tok in (f" {op}(", f" {op}-start("):
+                idx = head[1].find(tok)
+                if idx >= 0:
+                    kind, typestr = op, head[1][:idx]
+                    break
+            if kind:
+                break
+        if kind is None:
+            continue
+        shapes = re.findall(r"(bf16|f32|f16|u32|s32|pred)\[([\d,]*)\]", typestr)
         nbytes = 0
         shape_strs = []
         for dt, dims in shapes:
