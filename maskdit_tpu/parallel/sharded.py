@@ -83,13 +83,6 @@ def make_sharded_train_step(
             step_kwargs["microbatch_sharding"] = NamedSharding(
                 mesh, mesh_lib.P(None, ("data", "fsdp"))
             )
-    if (
-        "grad_sync_shardings" not in step_kwargs
-        and any(int(s) > 1 for s in mesh.shape.values())
-    ):
-        # pin the cross-device gradient reduction at the gradients' own
-        # (possibly bf16) dtype — see the state.py constraint comment
-        step_kwargs["grad_sync_shardings"] = shardings.params
     step = make_train_step(model, optimizer, **step_kwargs)
     # inputs arrive pre-sharded (state from create_sharded_state, batches
     # from data.loader.prefetch), so only outputs are constrained — this

@@ -244,7 +244,6 @@ def make_train_step(
     accum_unroll: int = 1,
     peel_last_micro: bool = False,
     microbatch_sharding: Optional[Any] = None,
-    grad_sync_shardings: Optional[Any] = None,
 ) -> Callable[[TrainState, dict, jax.Array], tuple[TrainState, dict]]:
     """Build the jittable train step.
 
@@ -443,22 +442,16 @@ def make_train_step(
             grads = jax.tree.map(lambda g: g / grad_accum, grads)
             loss = loss_sum / grad_accum
 
-        if grad_sync_shardings is not None:
-            # Pin the cross-device gradient reduction HERE, while grads
-            # still carry the (possibly bf16) accumulator dtype. Left to
-            # itself, GSPMD resolves the batch-contraction partial sums
-            # only where replication is first *required* — inside the
-            # optimizer, AFTER the per-leaf cast to fp32 — so the wire
-            # moves 2x the bytes (measured by tools/xl_shard_report.py:
-            # 2.72 GB fp32 vs 1.36 GB bf16 per step at XL/2 on {data:8}).
-            # Constraining to the params' own shardings is semantically
-            # neutral (grads always end up there); cross-device summation
-            # at bf16 adds rounding of the same family as the bf16
-            # accumulator itself (sums 48 micros at bf16 already).
-            grads = jax.tree.map(
-                lambda g, s: jax.lax.with_sharding_constraint(g, s),
-                grads, grad_sync_shardings,
-            )
+        # NOTE (r5, measured): the cross-device gradient reduction runs at
+        # fp32 even under the bf16 accumulator — GSPMD resolves the
+        # batch-contraction partial sums at its own placement (2.72 GB
+        # fp32 per step at XL/2 on {data:8}, tools/xl_shard_report.py),
+        # and neither a with_sharding_constraint on the bf16 grads nor an
+        # optimization_barrier moves it (both measured HLO-identical on a
+        # 4-dev mesh). Halving those wire bytes would need an explicit
+        # shard_map psum of the accumulator — not worth it at the
+        # measured scale (66 ms of a 4.9 s ga-48 step over ICI; ~9% only
+        # when the gradient reduce crosses DCN).
 
         new_params, new_opt_state, new_ema = _apply_updates_fused(
             optimizer, state.params, grads, state.opt_state,
